@@ -1,0 +1,271 @@
+"""Vectorized (numpy) ring geometry kernels.
+
+Semantics-compatible with the reference pyshp module-level kernels
+(reference src/shapefile.py:816-1102) but implemented fresh on numpy
+arrays so they run at Arrow-batch granularity inside pandas UDFs:
+
+- ``signed_area`` / ``is_cw``: shoelace over a closed ring; negative
+  signed area == clockwise == exterior ring (reference sf.py:816-840).
+- ``ring_contains_points``: crossing-number (+X ray) point-in-ring test,
+  Haines/MacMartin style, vectorized over a batch of query points.  The
+  per-edge arithmetic mirrors the reference expression order
+  (sf.py:872-914) so classifications agree bit-for-bit away from
+  degenerate on-edge cases.
+- ``ring_sample``: deterministic interior sample point via the first
+  valid coordinate-triplet centroid (sf.py:921-968) — iteration order
+  matters for hole-assignment parity and is reproduced exactly.
+- ``organize_polygon_rings``: CW-exterior / CCW-hole grouping with
+  bbox-prefilter -> point-in-ring refine -> smallest-|area| tie-break,
+  orphaned-hole promotion (sf.py:977-1102).
+
+Rings are ``float64 ndarray`` of shape (n, 2) (x, y columns); closed
+rings repeat the first vertex at the end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "signed_area",
+    "is_cw",
+    "ring_bbox",
+    "ring_contains_points",
+    "ring_contains_point",
+    "ring_sample",
+    "organize_polygon_rings",
+    "points_in_rings_even_odd",
+    "close_ring",
+]
+
+
+def _as_xy(ring) -> np.ndarray:
+    a = np.asarray(ring, dtype=np.float64)
+    if a.ndim != 2 or a.shape[1] < 2:
+        raise ValueError(f"ring must be (n, >=2), got {a.shape}")
+    return a[:, :2]
+
+
+def close_ring(ring: np.ndarray) -> np.ndarray:
+    """Append the first vertex if the ring is open (reference auto-close,
+    sf.py:1135-1138)."""
+    a = _as_xy(ring)
+    if len(a) and not np.array_equal(a[0], a[-1]):
+        a = np.vstack([a, a[:1]])
+    return a
+
+
+def signed_area(ring, fast: bool = False) -> float:
+    """Signed area of a closed ring; >= 0 means counter-clockwise.
+
+    With ``fast=True`` returns 2x the area (sign-only use).  Matches the
+    reference formulation (sf.py:816-832): cyclic shoelace
+    sum_{i=1..n-1} x_i * (y_{i+1} - y_{i-1}) with index n wrapping to 1,
+    z/m ignored.
+    """
+    a = _as_xy(ring)
+    n = len(a)
+    if n < 3:
+        return 0.0
+    x = a[:, 0]
+    y = a[:, 1]
+    # wrap: y2[i] spans indices 1..n with n -> index 1 of the original
+    y_next = np.concatenate([y[2:], y[1:2]])  # y_{i+1} for i = 1..n-1
+    area2 = float(np.sum(x[1:] * (y_next - y[:-1])))
+    return area2 if fast else area2 / 2.0
+
+
+def is_cw(ring) -> bool:
+    """True when the ring is clockwise (negative signed area)."""
+    return signed_area(ring, fast=True) < 0
+
+
+def ring_bbox(ring) -> tuple[float, float, float, float]:
+    a = _as_xy(ring)
+    return (
+        float(a[:, 0].min()),
+        float(a[:, 1].min()),
+        float(a[:, 0].max()),
+        float(a[:, 1].max()),
+    )
+
+
+def ring_contains_points(ring, px, py) -> np.ndarray:
+    """Vectorized crossing-number point-in-ring test.
+
+    ``ring``: (n,2) closed ring.  ``px``/``py``: 1-D arrays of query
+    coordinates.  Returns a bool array.
+
+    The edge test reproduces the reference kernel (sf.py:872-914): edges
+    whose endpoint y-flags (y >= ty) differ may be crossed by the +X
+    ray; if both endpoint x-flags (x >= tx) agree, the flag decides,
+    otherwise the exact ray/edge intersection x is compared with >= tx.
+    Expression order of the intersection is kept identical so float
+    results agree with the reference bit-for-bit.
+    """
+    a = _as_xy(ring)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    npts = len(px)
+    if len(a) < 2 or npts == 0:
+        return np.zeros(npts, dtype=bool)
+
+    x0 = a[:-1, 0][:, None]
+    y0 = a[:-1, 1][:, None]
+    x1 = a[1:, 0][:, None]
+    y1 = a[1:, 1][:, None]
+
+    inside = np.zeros(npts, dtype=bool)
+    # chunk query points so the (edges x points) broadcast stays cache-sized
+    chunk = max(1, int(4_000_000 / max(1, len(a))))
+    for s in range(0, npts, chunk):
+        tx = px[s : s + chunk][None, :]
+        ty = py[s : s + chunk][None, :]
+        yf0 = y0 >= ty
+        yf1 = y1 >= ty
+        straddle = yf0 != yf1
+        xf0 = x0 >= tx
+        xf1 = x1 >= tx
+        same_side = xf0 == xf1
+        easy = straddle & same_side & xf0
+        hard = straddle & ~same_side
+        if hard.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # identical operation order to the reference intersection
+                isect = x1 - (y1 - ty) * (x0 - x1) / (y0 - y1)
+            hard = hard & (isect >= tx)
+        crossings = easy.sum(axis=0) + hard.sum(axis=0)
+        inside[s : s + chunk] = (crossings & 1).astype(bool)
+    return inside
+
+
+def ring_contains_point(ring, p) -> bool:
+    """Scalar convenience wrapper over :func:`ring_contains_points`."""
+    return bool(ring_contains_points(ring, [p[0]], [p[1]])[0])
+
+
+class RingSamplingError(Exception):
+    pass
+
+
+def ring_sample(ring, ccw: bool = False) -> tuple[float, float]:
+    """Deterministic interior point of a ring.
+
+    Walks coordinate triplets in ring order (skipping duplicate coords),
+    wrapping around by re-visiting the second coordinate, and returns the
+    centroid of the first non-degenerate triplet whose orientation
+    matches the ring's and whose centroid passes the point-in-ring test
+    (reference sf.py:921-968 — the iteration order is part of the
+    hole-assignment contract and is reproduced exactly).
+    """
+    a = _as_xy(ring)
+    coords = [(float(x), float(y)) for x, y in a]
+    triplet: list[tuple[float, float]] = []
+
+    def seq():
+        yield from coords
+        yield coords[1]
+
+    for p in seq():
+        if p not in triplet:
+            triplet.append(p)
+        if len(triplet) == 3:
+            (ax, ay), (bx, by), (cx, cy) = triplet
+            straight = (ay - by) * (ax - cx) == (ay - cy) * (ax - bx)
+            if not straight:
+                tri = np.array(triplet + [triplet[0]], dtype=np.float64)
+                tri_ccw = not is_cw(tri)
+                if ccw == tri_ccw:
+                    mx = (ax + bx + cx) / 3.0
+                    my = (ay + by + cy) / 3.0
+                    if ring_contains_point(a, (mx, my)):
+                        return mx, my
+            triplet.pop(0)
+    raise RingSamplingError(f"unable to find a ring sample point in {len(coords)} coords")
+
+
+def organize_polygon_rings(
+    rings: list[np.ndarray], return_errors: dict | None = None
+) -> list[list[np.ndarray]]:
+    """Group a shape's rings into polygons ``[[exterior, hole, ...], ...]``.
+
+    Reproduces the reference algorithm (sf.py:977-1102):
+
+    1. classify by winding: CW -> exterior, CCW -> hole;
+    2. single exterior: all holes attach to it;
+    3. multiple exteriors: bbox-contains prefilter (strict inequalities,
+       sf.py:864-869), then point-in-ring refine with a sampled hole
+       interior point, then smallest-|2x-area| exterior wins for nested
+       exteriors;
+    4. orphaned holes promote to hole-less exteriors (+ error counter);
+    5. no exteriors at all: treat every hole as an exterior (+ counter).
+    """
+    rings = [_as_xy(r) for r in rings]
+    exteriors: list[np.ndarray] = []
+    holes: list[np.ndarray] = []
+    for r in rings:
+        (exteriors if is_cw(r) else holes).append(r)
+
+    if len(exteriors) == 1:
+        return [[exteriors[0], *holes]]
+
+    if len(exteriors) > 1:
+        if not holes:
+            return [[e] for e in exteriors]
+
+        ext_bboxes = [ring_bbox(e) for e in exteriors]
+        cand: dict[int, list[int]] = {}
+        for hi, h in enumerate(holes):
+            hxmin, hymin, hxmax, hymax = ring_bbox(h)
+            cand[hi] = [
+                ei
+                for ei, (exmin, eymin, exmax, eymax) in enumerate(ext_bboxes)
+                if exmin < hxmin and hxmax < exmax and eymin < hymin and hymax < eymax
+            ]
+        for hi, cands in cand.items():
+            if len(cands) > 1:
+                sample = ring_sample(holes[hi], ccw=not is_cw(holes[hi]))
+                cand[hi] = [
+                    ei
+                    for ei in cands
+                    if ring_contains_point(exteriors[ei], sample)
+                ]
+        for hi, cands in cand.items():
+            if len(cands) > 1:
+                cand[hi] = [
+                    min(cands, key=lambda ei: abs(signed_area(exteriors[ei], fast=True)))
+                ]
+
+        orphan = [hi for hi, cands in cand.items() if not cands]
+        polys = []
+        for ei, e in enumerate(exteriors):
+            poly = [e]
+            poly += [holes[hi] for hi, cands in cand.items() if cands and cands[0] == ei]
+            polys.append(poly)
+        for hi in orphan:
+            polys.append([holes[hi]])
+        if orphan and return_errors is not None:
+            return_errors["polygon_orphaned_holes"] = len(orphan)
+        return polys
+
+    # no exteriors: assume wrong winding, promote all holes
+    if return_errors is not None:
+        return_errors["polygon_only_holes"] = len(holes)
+    return [[h] for h in holes]
+
+
+def points_in_rings_even_odd(rings: list[np.ndarray], px, py) -> np.ndarray:
+    """Even-odd containment of points against ALL rings of a shape.
+
+    For valid shapefile polygons (non-intersecting rings, holes nested in
+    exteriors) summing the crossing parity over every ring is equivalent
+    to "inside some exterior and not inside its holes" — the same answer
+    the reference's organized-polygon containment gives, without needing
+    ring organization on the hot join path.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    parity = np.zeros(len(px), dtype=np.int64)
+    for r in rings:
+        parity += ring_contains_points(r, px, py)
+    return (parity & 1).astype(bool)
