@@ -1,0 +1,436 @@
+"""ESRI shapefile (.shp / .dbf) ingest -> Spark DataFrame.
+
+Fresh implementation from the public ESRI shapefile spec; record- and
+value-level *semantics* follow the reference reader so its outputs are
+reproduced exactly (cites into reference src/shapefile.py):
+
+- shape types / Z/M handling: sf.py:65-114, 1810-2080.  Missing trailing
+  M block -> all-None m values; m < -1e38 (ISDATA_LOWER_BOUND) -> None
+  (sf.py:792-798, 1997-2009).
+- dbf value rules: sf.py:3109-3208 — N/F cut at first NUL, '*'-strip
+  (QGIS null), blank -> None, decimal>0 -> float, else int with
+  int(float(v)) fallback; D -> date with all-zero/space/NUL -> None and
+  invalid dates surviving as strings; L -> Y/y/T/t/1 True, N/n/F/f/0
+  False, else None; C/M -> rstrip pad bytes then decode.
+- deleted dbf rows (flag != b" ") are dropped (sf.py:3127-3133).
+- oid = 0-based record position (sf.py:1331-1334).
+
+Architecture difference from the reference (by design, not a port): the
+reference is a lazy record-at-a-time reader; here each *file* is parsed
+in one shot into Arrow-friendly columns (WKB + bbox + typed attrs) by a
+task, and a directory of shapefiles becomes a DataFrame with per-file
+parallelism via ``mapInPandas`` (the natural partitioning unit for this
+format).  After ingest everything is columnar — bbox columns enable
+Parquet min/max skipping where the reference re-parses bytes per query
+(sf.py:1683-1687).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import os
+import struct
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyshp_spark.kernels import wkb as _wkb
+from pyshp_spark.kernels.rings import organize_polygon_rings
+
+# shape type constants (public ESRI spec / reference sf.py:65-79)
+NULL = 0
+POINT = 1
+POLYLINE = 3
+POLYGON = 5
+MULTIPOINT = 8
+POINTZ = 11
+POLYLINEZ = 13
+POLYGONZ = 15
+MULTIPOINTZ = 18
+POINTM = 21
+POLYLINEM = 23
+POLYGONM = 25
+MULTIPOINTM = 28
+MULTIPATCH = 31
+
+_POINT_TYPES = {POINT, POINTZ, POINTM}
+_MULTIPOINT_TYPES = {MULTIPOINT, MULTIPOINTZ, MULTIPOINTM}
+_POLYLINE_TYPES = {POLYLINE, POLYLINEZ, POLYLINEM}
+_POLYGON_TYPES = {POLYGON, POLYGONZ, POLYGONM}
+_HAS_PARTS = _POLYLINE_TYPES | _POLYGON_TYPES | {MULTIPATCH}
+_HAS_Z = {POLYLINEZ, POLYGONZ, MULTIPOINTZ, MULTIPATCH}
+_HAS_M = {
+    POLYLINEM,
+    POLYLINEZ,
+    POLYGONM,
+    POLYGONZ,
+    MULTIPOINTM,
+    MULTIPOINTZ,
+    MULTIPATCH,
+}
+
+ISDATA_LOWER_BOUND = -1e38  # m below this is NoData (reference sf.py:793-798)
+
+# geometry columns every ingested row carries (attrs follow)
+GEOM_FIELDS = [
+    "oid",
+    "shape_type",
+    "wkb",
+    "xmin",
+    "ymin",
+    "xmax",
+    "ymax",
+    "num_parts",
+    "num_points",
+    "z",
+    "m",
+]
+
+
+def _shape_wkb(shape_type: int, points: np.ndarray, parts: np.ndarray) -> bytes | None:
+    """Encode one shape's points/parts into standard WKB.
+
+    Polygons: rings (split by parts) are organized into
+    exterior+holes structure (CW=exterior per reference
+    sf.py:977-1102) and written as Polygon / MultiPolygon.
+    """
+    if shape_type == NULL or len(points) == 0:
+        return None
+    if shape_type in _POINT_TYPES:
+        return _wkb.wkb_point(float(points[0, 0]), float(points[0, 1]))
+    if shape_type in _MULTIPOINT_TYPES:
+        return _wkb.wkb_multipoint(points)
+    bounds = list(parts) + [len(points)]
+    rings = [points[bounds[i] : bounds[i + 1]] for i in range(len(parts))]
+    rings = [r for r in rings if len(r)]
+    if shape_type in _POLYLINE_TYPES or shape_type == MULTIPATCH:
+        if len(rings) == 1:
+            return _wkb.wkb_linestring(rings[0])
+        return _wkb.wkb_multilinestring(rings)
+    polys = organize_polygon_rings(rings)
+    if len(polys) == 1:
+        return _wkb.wkb_polygon(polys[0])
+    return _wkb.wkb_multipolygon(polys)
+
+
+def parse_shp_bytes(
+    shp: bytes, bbox: tuple[float, float, float, float] | None = None
+) -> pd.DataFrame:
+    """Parse a whole .shp byte buffer into a pandas DataFrame of
+    GEOM_FIELDS columns.
+
+    ``bbox`` applies the reference's spatial filter pushdown
+    (sf.py:1683-1687): shapes whose bbox does not overlap are skipped
+    after reading only their 32-byte bbox prefix (here: cheap slicing).
+    oid remains the file position of the record.
+    """
+    if len(shp) < 100:
+        raise ValueError("not a .shp file: header too short")
+    (file_code,) = struct.unpack_from(">i", shp, 0)
+    if file_code != 9994:
+        raise ValueError(f"not a .shp file: bad file code {file_code}")
+    (file_len_words,) = struct.unpack_from(">i", shp, 24)
+    file_len = min(file_len_words * 2, len(shp))
+
+    rows: dict[str, list] = {k: [] for k in GEOM_FIELDS}
+    pos = 100
+    oid = 0
+    while pos + 8 <= file_len:
+        _recnum, content_words = struct.unpack_from(">2i", shp, pos)
+        rec_start = pos + 8
+        next_pos = rec_start + content_words * 2
+        if content_words <= 0 or rec_start + 4 > len(shp):
+            break
+        (stype,) = struct.unpack_from("<i", shp, rec_start)
+        parsed = _parse_record(shp, rec_start, next_pos, stype, bbox)
+        if parsed is not None:
+            (pts, parts, bx, z, m, npts) = parsed
+            rows["oid"].append(oid)
+            rows["shape_type"].append(stype)
+            rows["wkb"].append(_shape_wkb(stype, pts, parts))
+            rows["xmin"].append(bx[0])
+            rows["ymin"].append(bx[1])
+            rows["xmax"].append(bx[2])
+            rows["ymax"].append(bx[3])
+            rows["num_parts"].append(len(parts))
+            rows["num_points"].append(npts)
+            rows["z"].append(z)
+            rows["m"].append(m)
+        oid += 1
+        pos = next_pos
+    df = pd.DataFrame(rows)
+    return df.astype(
+        {
+            "oid": "int64",
+            "shape_type": "int32",
+            "xmin": "float64",
+            "ymin": "float64",
+            "xmax": "float64",
+            "ymax": "float64",
+            "num_parts": "int32",
+            "num_points": "int32",
+        }
+    )
+
+
+def _parse_record(shp, rec_start, next_pos, stype, bbox):
+    """Returns (points(n,2), parts, bbox4, z|None, m|None, num_points)
+    or None when the shape is a deleted/filtered-out record."""
+    off = rec_start + 4
+    empty = np.empty((0, 2), dtype=np.float64)
+    if stype == NULL:
+        return (empty, np.empty(0, np.int32), (None,) * 4, None, None, 0)
+
+    if stype in _POINT_TYPES:
+        x, y = struct.unpack_from("<2d", shp, off)
+        off += 16
+        if bbox is not None and not (
+            bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3]
+        ):
+            return None
+        z = m = None
+        if stype == POINTZ:
+            (zv,) = struct.unpack_from("<d", shp, off)
+            off += 8
+            z = [zv]
+        if stype in (POINTZ, POINTM):
+            if next_pos - off >= 8:
+                (mv,) = struct.unpack_from("<d", shp, off)
+                m = [mv if mv >= ISDATA_LOWER_BOUND else None]
+            else:
+                m = [None]
+        pts = np.array([[x, y]], dtype=np.float64)
+        return (pts, np.empty(0, np.int32), (x, y, x, y), z, m, 1)
+
+    # bbox-bearing types
+    bx = struct.unpack_from("<4d", shp, off)
+    off += 32
+    if bbox is not None and not (
+        bbox[0] <= bx[2] and bx[0] <= bbox[2] and bbox[1] <= bx[3] and bx[1] <= bbox[3]
+    ):
+        return None
+    n_parts = 0
+    parts = np.empty(0, np.int32)
+    if stype in _HAS_PARTS:
+        (n_parts,) = struct.unpack_from("<i", shp, off)
+        off += 4
+    (n_points,) = struct.unpack_from("<i", shp, off)
+    off += 4
+    if n_parts:
+        parts = np.frombuffer(shp, dtype="<i4", count=n_parts, offset=off).astype(
+            np.int32
+        )
+        off += 4 * n_parts
+        if stype == MULTIPATCH:
+            off += 4 * n_parts  # partTypes (carried nowhere for now)
+    pts = empty
+    z = m = None
+    if n_points:
+        pts = (
+            np.frombuffer(shp, dtype="<f8", count=2 * n_points, offset=off)
+            .reshape(n_points, 2)
+            .copy()
+        )
+        off += 16 * n_points
+        if stype in _HAS_Z:
+            off += 16  # zbox
+            z = list(
+                np.frombuffer(shp, dtype="<f8", count=n_points, offset=off)
+            )
+            off += 8 * n_points
+        if stype in _HAS_M:
+            # trailing M block is optional (reference sf.py:1997-2009)
+            if next_pos - off >= 16:
+                off += 16  # mbox
+            if next_pos - off >= 8 * n_points:
+                mvals = np.frombuffer(shp, dtype="<f8", count=n_points, offset=off)
+                m = [float(v) if v >= ISDATA_LOWER_BOUND else None for v in mvals]
+            else:
+                m = [None] * n_points
+    if stype in _MULTIPOINT_TYPES:
+        parts = np.empty(0, np.int32)
+    elif n_parts == 0:
+        parts = np.zeros(1, np.int32) if n_points else parts
+    return (pts, parts, bx, z, m, n_points)
+
+
+# ---------------------------------------------------------------- dbf ----
+
+
+def parse_dbf_bytes(
+    dbf: bytes,
+    fields: list[str] | None = None,
+    encoding: str = "utf-8",
+    encoding_errors: str = "strict",
+) -> pd.DataFrame:
+    """Parse a whole .dbf byte buffer into a typed pandas DataFrame.
+
+    Value semantics mirror the reference record parser (sf.py:3109-3208);
+    deleted rows are dropped; ``fields`` projects columns (reference
+    column pruning, sf.py:3051-3107).  An ``oid`` column carries the
+    0-based record position (pre-deletion-filter, matching reference
+    shape/record alignment).
+    """
+    if len(dbf) < 32:
+        raise ValueError("not a .dbf file: header too short")
+    num_records, header_len, record_len = struct.unpack_from("<IHH", dbf, 4)
+    specs = []  # (name, type, size, decimal)
+    off = 32
+    while off < header_len - 1 and dbf[off] != 0x0D:
+        raw = dbf[off : off + 32]
+        name = raw[:11].split(b"\x00", 1)[0].decode("ascii", "replace")
+        ftype = chr(raw[11])
+        size = raw[16]
+        decimal = raw[17]
+        specs.append((name, ftype, size, decimal))
+        off += 32
+
+    body = dbf[header_len:]
+    n = min(num_records, len(body) // record_len) if record_len else 0
+    mat = np.frombuffer(body[: n * record_len], dtype="S1").reshape(n, record_len)
+    raw_rows = mat.view(f"S{record_len}").ravel() if record_len else np.array([], "S1")
+
+    deleted = np.array([r[:1] != b" " for r in raw_rows], dtype=bool)
+    keep = ~deleted
+    oids = np.arange(n, dtype=np.int64)[keep]
+
+    wanted = None if fields is None else {f for f in fields}
+    out: dict[str, list] = {"oid": list(oids)}
+    col_off = 1
+    for name, ftype, size, decimal in specs:
+        sl = slice(col_off, col_off + size)
+        col_off += size
+        if wanted is not None and name not in wanted:
+            continue
+        vals = [_parse_dbf_value(r[sl], ftype, decimal, encoding, encoding_errors)
+                for r, k in zip(raw_rows, keep) if k]
+        out[name] = vals
+    df = pd.DataFrame(out)
+    # stable dtypes: nullable ints for N(decimal=0)
+    for name, ftype, size, decimal in specs:
+        if name not in df.columns or name == "oid":
+            continue
+        if ftype in "NF" and not decimal:
+            df[name] = df[name].astype("Int64")
+        elif ftype in "NF":
+            df[name] = df[name].astype("float64")
+    return df
+
+
+def _parse_dbf_value(b: bytes, ftype: str, decimal: int, enc: str, errs: str):
+    if ftype in ("N", "F"):
+        v = b.partition(b"\x00")[0].strip(b"*")
+        if v.strip() == b"":
+            return None
+        if decimal:
+            try:
+                return float(v)
+            except ValueError:
+                return None
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return int(float(v))
+            except ValueError:
+                return None
+    if ftype == "D":
+        if not b.replace(b"\x00", b"").replace(b" ", b"").replace(b"0", b""):
+            return None
+        s = b.decode("ascii", "replace")
+        try:
+            return _dt.datetime.strptime(s, "%Y%m%d").date()
+        except (TypeError, ValueError):
+            return s
+    if ftype == "L":
+        if b == b" ":
+            return None
+        if b in b"YyTt1":
+            return True
+        if b in b"NnFf0":
+            return False
+        return None
+    # C / M / everything else: text
+    return b.rstrip(b"\x00 ").decode(enc, errs)
+
+
+# ------------------------------------------------------------- joined ----
+
+
+def shapefile_to_pandas(
+    shp: bytes,
+    dbf: bytes | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    fields: list[str] | None = None,
+) -> pd.DataFrame:
+    """One shapefile -> pandas frame of geometry + attribute columns.
+
+    The reference's positional shape<->record zip join (sf.py:4168-4196)
+    becomes an oid equi-merge at ingest; bbox mode reproduces its
+    re-fetch-by-oid behavior by merging only surviving oids."""
+    geoms = parse_shp_bytes(shp, bbox=bbox)
+    if dbf is None:
+        return geoms
+    attrs = parse_dbf_bytes(dbf, fields=fields)
+    return geoms.merge(attrs, on="oid", how="inner", sort=True)
+
+
+def _pairs_in_dir(path: str) -> list[tuple[str, str | None]]:
+    shps = sorted(glob.glob(os.path.join(path, "*.shp")))
+    out = []
+    for s in shps:
+        d = s[:-4] + ".dbf"
+        out.append((s, d if os.path.exists(d) else None))
+    return out
+
+
+def read_shapefiles(spark, path: str, bbox=None, fields=None):
+    """Directory (or single .shp path) -> Spark DataFrame.
+
+    One task per shapefile (the format's natural parallelism unit);
+    parsing runs as an Arrow-batched ``mapInPandas`` so geometry lands
+    directly in columnar form.  Schema is inferred from the first file
+    on the driver (headers only would suffice; cheap at these sizes).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    pairs = (
+        [(path, path[:-4] + ".dbf" if os.path.exists(path[:-4] + ".dbf") else None)]
+        if path.endswith(".shp")
+        else _pairs_in_dir(path)
+    )
+    if not pairs:
+        raise FileNotFoundError(f"no .shp files under {path}")
+
+    with open(pairs[0][0], "rb") as f:
+        shp0 = f.read()
+    dbf0 = None
+    if pairs[0][1]:
+        with open(pairs[0][1], "rb") as f:
+            dbf0 = f.read()
+    sample = shapefile_to_pandas(shp0, dbf0, bbox=bbox, fields=fields)
+    sample.insert(0, "src", pairs[0][0])
+    schema = spark.createDataFrame(sample.head(10)).schema
+
+    paths_df = spark.createDataFrame(
+        [(s, d) for s, d in pairs], "shp_path string, dbf_path string"
+    ).repartition(len(pairs))
+
+    def parse(iterator: Iterable[pd.DataFrame]):
+        for pdf in iterator:
+            for shp_path, dbf_path in pdf.itertuples(index=False):
+                with open(shp_path, "rb") as f:
+                    shp = f.read()
+                dbf = None
+                if dbf_path:
+                    with open(dbf_path, "rb") as f:
+                        dbf = f.read()
+                out = shapefile_to_pandas(shp, dbf, bbox=bbox, fields=fields)
+                out.insert(0, "src", shp_path)
+                yield out
+
+    return paths_df.mapInPandas(parse, schema=schema).withColumn(
+        "src", F.col("src")
+    )

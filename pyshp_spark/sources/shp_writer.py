@@ -1,0 +1,171 @@
+"""Single-node ESRI shapefile writer (.shp/.shx/.dbf bytes).
+
+Covers the reference's writer surface (reference src/shapefile.py
+W1-W6: ShpWriter sf.py:4727-4787, ShxWriter sf.py:4801-4813, dbf
+writer sf.py:4300-4546) at test/export scale.  This is NOT the engine's
+distributed sink (that is Parquet/Iceberg, see plans/lineage.py) — it
+exists to round-trip geometry out of DataFrames for interop and to
+build deterministic fixtures the reference reader can open as the
+oracle.
+
+Value encodings follow the dbf rules the reference enforces: numbers
+right-justified space-padded (sf.py:4407-4428), dates YYYYMMDD
+zero-filled (sf.py:4429-4447), logical T/F/space (sf.py:4448-4457),
+strings left-justified, UTF-8.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+
+import numpy as np
+
+from pyshp_spark.sources.shapefile import (
+    MULTIPOINT,
+    NULL,
+    POINT,
+    POLYGON,
+    POLYLINE,
+)
+
+_HEADER_LEN = 100
+
+
+def _shp_header(shape_type: int, bbox, total_words: int) -> bytes:
+    h = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    h += struct.pack(">i", total_words)
+    h += struct.pack("<2i", 1000, shape_type)
+    h += struct.pack("<4d", *bbox)
+    h += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    return h
+
+
+def _record_body(shape_type: int, shape) -> bytes:
+    """shape: None (null) | (x, y) point | list-of-parts, each (n,2)."""
+    if shape_type == NULL or shape is None:
+        return struct.pack("<i", NULL)
+    if shape_type == POINT:
+        x, y = shape
+        return struct.pack("<i2d", POINT, float(x), float(y))
+    if shape_type == MULTIPOINT:
+        pts = np.asarray(shape, dtype=np.float64).reshape(-1, 2)
+        body = struct.pack(
+            "<i4d",
+            MULTIPOINT,
+            pts[:, 0].min(),
+            pts[:, 1].min(),
+            pts[:, 0].max(),
+            pts[:, 1].max(),
+        )
+        body += struct.pack("<i", len(pts))
+        body += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+        return body
+    # polygon / polyline: parts
+    parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in shape]
+    allpts = np.vstack(parts)
+    body = struct.pack(
+        "<i4d",
+        shape_type,
+        allpts[:, 0].min(),
+        allpts[:, 1].min(),
+        allpts[:, 0].max(),
+        allpts[:, 1].max(),
+    )
+    body += struct.pack("<2i", len(parts), len(allpts))
+    offs = np.cumsum([0] + [len(p) for p in parts[:-1]]).astype("<i4")
+    body += offs.tobytes()
+    body += np.ascontiguousarray(allpts, dtype="<f8").tobytes()
+    return body
+
+
+def write_shp(shapes: list[tuple[int, object]]) -> tuple[bytes, bytes]:
+    """shapes: [(shape_type, payload)] -> (.shp bytes, .shx bytes)."""
+    bodies = [_record_body(t, s) for t, s in shapes]
+    xmins, ymins, xmaxs, ymaxs = [], [], [], []
+    for (t, s), b in zip(shapes, bodies):
+        if t == NULL or s is None:
+            continue
+        if t == POINT:
+            xmins.append(s[0]); xmaxs.append(s[0])
+            ymins.append(s[1]); ymaxs.append(s[1])
+        else:
+            bx = struct.unpack_from("<4d", b, 4)
+            xmins.append(bx[0]); ymins.append(bx[1])
+            xmaxs.append(bx[2]); ymaxs.append(bx[3])
+    bbox = (
+        (min(xmins), min(ymins), max(xmaxs), max(ymaxs))
+        if xmins
+        else (0.0, 0.0, 0.0, 0.0)
+    )
+    shape_type = next((t for t, _ in shapes if t != NULL), NULL)
+
+    recs = []
+    shx_items = []
+    pos = _HEADER_LEN
+    for i, body in enumerate(bodies):
+        shx_items.append((pos // 2, len(body) // 2))
+        recs.append(struct.pack(">2i", i + 1, len(body) // 2) + body)
+        pos += 8 + len(body)
+
+    shp = _shp_header(shape_type, bbox, pos // 2) + b"".join(recs)
+    shx_body = b"".join(struct.pack(">2i", o, n) for o, n in shx_items)
+    shx = _shp_header(shape_type, bbox, (_HEADER_LEN + len(shx_body)) // 2) + shx_body
+    return shp, shx
+
+
+def write_dbf(fields: list[tuple[str, str, int, int]], records: list[list]) -> bytes:
+    """fields: [(name, type C/N/F/D/L, size, decimal)]; records: rows of
+    python values (None allowed)."""
+    record_len = 1 + sum(size for _, _, size, _ in fields)
+    header_len = 32 + 32 * len(fields) + 1
+    today = _dt.date(2026, 1, 1)  # deterministic
+    hdr = struct.pack(
+        "<4BIHH20x",
+        3,
+        today.year - 1900,
+        today.month,
+        today.day,
+        len(records),
+        header_len,
+        record_len,
+    )
+    fdescs = []
+    for name, ftype, size, decimal in fields:
+        fdescs.append(
+            struct.pack(
+                "<11sc4xBB14x",
+                name.encode("ascii")[:10],
+                ftype.encode("ascii"),
+                size,
+                decimal,
+            )
+        )
+    out = [hdr, b"".join(fdescs), b"\x0d"]
+    for rec in records:
+        out.append(b" ")
+        for (name, ftype, size, decimal), v in zip(fields, rec):
+            out.append(_encode_dbf_value(v, ftype, size, decimal))
+    out.append(b"\x1a")
+    return b"".join(out)
+
+
+def _encode_dbf_value(v, ftype: str, size: int, decimal: int) -> bytes:
+    if ftype in ("N", "F"):
+        if v is None:
+            return b" " * size
+        s = f"{float(v):.{decimal}f}" if decimal else str(int(v))
+        b = s.encode("ascii")
+        if len(b) > size:
+            raise ValueError(f"numeric value {s} exceeds field width {size}")
+        return b.rjust(size, b" ")
+    if ftype == "D":
+        if v is None:
+            return b" " * size
+        return f"{v.year:04d}{v.month:02d}{v.day:02d}".encode("ascii")
+    if ftype == "L":
+        if v is None:
+            return b" "
+        return b"T" if v else b"F"
+    b = ("" if v is None else str(v)).encode("utf-8")[:size]
+    return b.ljust(size, b" ")
