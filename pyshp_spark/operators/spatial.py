@@ -1,0 +1,377 @@
+"""Spatial join operators: filter -> refine, all DataFrame-native.
+
+The reference's only spatial machinery is a per-record bbox test and a
+scalar ray-cast (reference src/shapefile.py:856-914); joins over it
+would be O(N*M) single-threaded loops.  Here the same kernels become a
+three-stage distributed plan:
+
+  1. FILTER  — equi-join on int64 grid cells (polygon side carries an
+     exploded bbox cell cover, point side one cell).  Catalyst picks
+     broadcast-hash when the polygon side is small (we hint it), else
+     sort-merge with AQE skew splitting; optional salting spreads hot
+     cells explicitly.
+  2. PREFILTER — bbox overlap as a pure Column expression
+     (codegen'd; reference semantics sf.py:856-861, inclusive <=).
+  3. REFINE — vectorized even-odd ray-cast over Arrow batches
+     (``mapInPandas``), parsing each distinct polygon WKB once per
+     batch.  Bit-for-bit the reference's crossing test.
+
+Because a point maps to exactly one cell, a (point, polygon) pair
+appears at most once after the cell join — no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyshp_spark.functions.bbox import point_in_bbox_expr
+from pyshp_spark.functions.cells import GRID, Grid, cell_cover_udf
+from pyshp_spark.kernels.rings import points_in_rings_even_odd
+from pyshp_spark.kernels.wkb import wkb_rings
+
+_P = "__ps_"  # internal column prefix
+
+
+def _polygons_with_cells(
+    polygons: DataFrame, grid: Grid, salt_k: int | None
+) -> DataFrame:
+    """Explode each polygon row into one row per cover cell (and salt)."""
+    out = polygons.withColumn(
+        _P + "cell",
+        F.explode(
+            cell_cover_udf(grid)(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+            )
+        ),
+    )
+    if salt_k:
+        out = out.withColumn(
+            _P + "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
+        )
+    return out
+
+
+def _points_with_cell(
+    points: DataFrame, x: str, y: str, grid: Grid, salt_k: int | None
+) -> DataFrame:
+    out = points.withColumn(_P + "cell", grid.cell_expr(F.col(x), F.col(y)))
+    if salt_k:
+        out = out.withColumn(
+            _P + "salt",
+            F.pmod(F.hash(F.col(x), F.col(y)), F.lit(salt_k)).cast("int"),
+        )
+    return out
+
+
+def _refine_pip(df: DataFrame, x: str, y: str, keep_wkb: bool = False) -> DataFrame:
+    """Arrow-batched even-odd ray-cast refine on candidate pairs.
+
+    Expects columns ``wkb`` (polygon) and point coords; parses each
+    distinct WKB once per batch and tests all its candidate points in
+    one vectorized call.
+    """
+    out_fields = [f for f in df.schema.fields if keep_wkb or f.name != "wkb"]
+    out_schema = "structtype"
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    out_schema = StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[out_cols]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[x].to_numpy(dtype=np.float64)
+            py = pdf[y].to_numpy(dtype=np.float64)
+            for _, idx in pdf.groupby("wkb", sort=False).indices.items():
+                wkb_bytes = pdf["wkb"].iloc[idx[0]]
+                rings = wkb_rings(bytes(wkb_bytes))
+                keep[idx] = points_in_rings_even_odd(rings, px[idx], py[idx])
+            yield pdf.loc[keep, out_cols]
+
+    return df.mapInPandas(refine, schema=out_schema)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    grid: Grid = GRID,
+    broadcast_polygons: bool = True,
+    salt_k: int | None = None,
+    point_cols: list[str] | None = None,
+    polygon_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inner join: each point row paired with every polygon containing it.
+
+    ``polygons`` needs columns (wkb, xmin, ymin, xmax, ymax, ...).
+    Containment semantics = even-odd ray-cast over all rings, matching
+    the reference's organized exterior-minus-holes membership.
+
+    Scale notes: ``broadcast_polygons=True`` hints a broadcast-hash join
+    (dimension-sized polygon sets — no shuffle of the fact side at all);
+    for big polygon sets pass False (sort-merge on cell + AQE) and
+    optionally ``salt_k`` to pre-split hot cells.
+    """
+    pcols = point_cols or [c for c in points.columns]
+    gcols = polygon_cols or [
+        c for c in polygons.columns if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+    ]
+    build = _polygons_with_cells(
+        polygons.select("wkb", "xmin", "ymin", "xmax", "ymax", *gcols), grid, salt_k
+    )
+    if broadcast_polygons:
+        build = F.broadcast(build)
+    probe = _points_with_cell(points.select(*pcols), x, y, grid, salt_k)
+
+    join_keys = [_P + "cell"] + ([_P + "salt"] if salt_k else [])
+    cand = probe.join(build, on=join_keys, how="inner").where(
+        point_in_bbox_expr(
+            F.col(x), F.col(y),
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        )
+    )
+    cand = cand.select(*pcols, *gcols, "wkb")
+    return _refine_pip(cand, x, y)
+
+
+def spatial_semi_join(points, polygons, x="x", y="y", grid=GRID, **kw) -> DataFrame:
+    """Rows of ``points`` that fall inside at least one polygon."""
+    pcols = points.columns
+    matched = point_in_polygon_join(
+        points, polygons, x=x, y=y, grid=grid, polygon_cols=[], **kw
+    )
+    return matched.select(*pcols).dropDuplicates(pcols)
+
+
+def spatial_anti_join(points, polygons, x="x", y="y", grid=GRID, **kw) -> DataFrame:
+    """Rows of ``points`` outside every polygon (left_anti on refined
+    matches, joined back on the point's own columns)."""
+    pcols = points.columns
+    matched = spatial_semi_join(points, polygons, x=x, y=y, grid=grid, **kw)
+    return points.join(matched, on=pcols, how="left_anti")
+
+
+def tile_assignment(
+    tiles: DataFrame,
+    polygons: DataFrame,
+    grid: Grid = GRID,
+    mode: str = "center",
+    tx: str = "tile_x",
+    ty: str = "tile_y",
+    zoom: str = "zoom",
+    polygon_cols: list[str] | None = None,
+    **kw,
+) -> DataFrame:
+    """Assign raster tiles to polygons.
+
+    mode="center": tile assigned to the polygon(s) containing its
+    center point (exact ray-cast semantics).
+    mode="bbox": tile assigned to every polygon whose bbox overlaps the
+    tile's lon/lat bbox (pure Column math + cell join, no UDF refine).
+    """
+    from pyshp_spark.functions.cells import tile_to_lonlat_cols  # noqa: PLC0415
+
+    if mode == "center":
+        lon, lat = tile_to_lonlat_cols(
+            F.col(tx), F.col(ty), F.col(zoom), fx=F.lit(0.5), fy=F.lit(0.5)
+        )
+        pts = tiles.withColumn("__cx", lon).withColumn("__cy", lat)
+        out = point_in_polygon_join(
+            pts, polygons, x="__cx", y="__cy", grid=grid,
+            polygon_cols=polygon_cols, **kw
+        )
+        return out.drop("__cx", "__cy")
+    if mode == "bbox":
+        lon0, lat1 = tile_to_lonlat_cols(F.col(tx), F.col(ty), F.col(zoom))
+        lon1, lat0 = tile_to_lonlat_cols(
+            F.col(tx) + F.lit(1), F.col(ty) + F.lit(1), F.col(zoom)
+        )
+        boxed = (
+            tiles.withColumn("__txmin", lon0)
+            .withColumn("__tymin", lat0)
+            .withColumn("__txmax", lon1)
+            .withColumn("__tymax", lat1)
+        )
+        gcols = polygon_cols or [
+            c for c in polygons.columns
+            if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+        ]
+        build = _polygons_with_cells(
+            polygons.select("xmin", "ymin", "xmax", "ymax", *gcols), grid, None
+        )
+        cover = cell_cover_udf(grid)
+        probe = boxed.withColumn(
+            _P + "cell",
+            F.explode(
+                cover(
+                    F.col("__txmin"), F.col("__tymin"),
+                    F.col("__txmax"), F.col("__tymax"),
+                )
+            ),
+        )
+        cand = probe.join(F.broadcast(build), on=_P + "cell").where(
+            (F.col("__txmin") <= F.col("xmax"))
+            & (F.col("xmin") <= F.col("__txmax"))
+            & (F.col("__tymin") <= F.col("ymax"))
+            & (F.col("ymin") <= F.col("__tymax"))
+        )
+        out_cols = tiles.columns + gcols
+        # a tile bbox spans several cells -> same pair can match twice
+        return cand.select(*out_cols).dropDuplicates(out_cols)
+    raise ValueError(f"unknown tile_assignment mode {mode!r}")
+
+
+# ------------------------------------------------------------------ kNN ----
+
+
+def knn_brute(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    qx: str = "x",
+    qy: str = "y",
+    tx: str = "x",
+    ty: str = "y",
+    query_id: str = "query_id",
+    target_cols: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Exact kNN by cross join + per-query window top-k.  The baseline
+    (and the oracle-parity path); use :func:`knn_join` at scale.
+    Distance column ``dist2`` is squared Euclidean (no sqrt -> exact
+    float parity with SQL oracles)."""
+    tcols = target_cols or [c for c in targets.columns]
+    t = targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
+    joined = queries.crossJoin(F.broadcast(t)).withColumn(
+        "dist2",
+        (F.col(qx) - F.col("__t_" + tx)) ** 2 + (F.col(qy) - F.col("__t_" + ty)) ** 2,
+    )
+    order = [F.col("dist2")] + (
+        [F.col("__t_" + tie_break)] if tie_break else []
+    )
+    w = Window.partitionBy(query_id).orderBy(*order)
+    out = (
+        joined.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+    renames = [F.col("__t_" + c).alias(c if c not in queries.columns else "t_" + c)
+               for c in tcols]
+    return out.select(*queries.columns, *renames, "dist2", "knn_rank")
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    grid: Grid = GRID,
+    qx: str = "x",
+    qy: str = "y",
+    tx: str = "x",
+    ty: str = "y",
+    query_id: str = "query_id",
+    target_cols: list[str] | None = None,
+    tie_break: str | None = None,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Exact kNN via expanding cell-neighborhood search.
+
+    Round r joins unresolved queries against targets within Chebyshev
+    cell radius 2^r, keeps per-query top-k, and declares a query
+    resolved when its k-th candidate distance is <= the guaranteed
+    covered distance radius*min(dx,dy) (any nearer target must lie in
+    an already-searched cell).  Unresolved queries escalate; the final
+    round falls back to brute force for the (few) stragglers.  Driver
+    only orchestrates rounds — all data work is joins + windows.
+    """
+    tcols = target_cols or [c for c in targets.columns]
+    tgt = targets.withColumn(_P + "tcell", grid.cell_expr(F.col(tx), F.col(ty)))
+    tgt = tgt.select(
+        _P + "tcell", *[F.col(c).alias("__t_" + c) for c in tcols]
+    ).cache()
+    remaining = queries
+    results = []
+    for r in range(max_rounds):
+        radius = 2**r
+        if remaining.isEmpty():
+            break
+        # explode each query into its neighborhood cells at this radius
+        q = remaining.withColumn(
+            _P + "qcol", grid.col_expr(F.col(qx))
+        ).withColumn(_P + "qrow", grid.row_expr(F.col(qy)))
+        q = q.withColumn(
+            _P + "dc", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+        ).withColumn(
+            _P + "dr", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+        )
+        if r > 0:
+            # only the new ring (cells not covered by the previous radius)
+            prev = 2 ** (r - 1)
+            q = q.where(
+                (F.abs(F.col(_P + "dc")) > prev) | (F.abs(F.col(_P + "dr")) > prev)
+            )
+        q = q.withColumn(
+            _P + "tcell",
+            (F.col(_P + "qcol") + F.col(_P + "dc"))
+            + (F.col(_P + "qrow") + F.col(_P + "dr")) * F.lit(grid.width),
+        )
+        cand = q.join(tgt, on=_P + "tcell", how="inner").withColumn(
+            "dist2",
+            (F.col(qx) - F.col("__t_" + tx)) ** 2
+            + (F.col(qy) - F.col("__t_" + ty)) ** 2,
+        )
+        cand = cand.drop(
+            _P + "tcell", _P + "qcol", _P + "qrow", _P + "dc", _P + "dr"
+        )
+        results.append(cand)
+        # resolved = queries whose k-th nearest candidate so far is provably
+        # inside the searched radius
+        acc = _union_all(results)
+        safe_dist = (radius * min(grid.dx, grid.dy)) ** 2
+        w = Window.partitionBy(query_id).orderBy("dist2")
+        kth = (
+            acc.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == k)
+            .where(F.col("dist2") <= F.lit(safe_dist))
+            .select(query_id)
+        )
+        remaining = remaining.join(kth, on=query_id, how="left_anti")
+
+    if not remaining.isEmpty():
+        results.append(
+            remaining.crossJoin(
+                F.broadcast(
+                    targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
+                )
+            ).withColumn(
+                "dist2",
+                (F.col(qx) - F.col("__t_" + tx)) ** 2
+                + (F.col(qy) - F.col("__t_" + ty)) ** 2,
+            )
+        )
+    acc = _union_all(results).dropDuplicates([query_id, "__t_" + tcols[0]] if tcols else [query_id])
+    order = [F.col("dist2")] + ([F.col("__t_" + tie_break)] if tie_break else [])
+    w = Window.partitionBy(query_id).orderBy(*order)
+    out = acc.withColumn("knn_rank", F.row_number().over(w)).where(
+        F.col("knn_rank") <= k
+    )
+    qcols = queries.columns
+    renames = [F.col("__t_" + c).alias(c if c not in qcols else "t_" + c)
+               for c in tcols]
+    return out.select(*qcols, *renames, "dist2", "knn_rank")
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
