@@ -1,0 +1,282 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, all shuffle-conscious:
+
+- exact:     hash-groupBy on normalized text — one shuffle, map-side
+             partial agg for the counts.
+- ngram Jaccard: word-token blocking self-join — distinct (doc, token)
+             explode, token equi-join, intersection counts vs set
+             sizes; exactly mirrorable in SQL (DuckDB oracle).
+- MinHash + LSH: shingle -> 64-perm signature (vectorized numpy in a
+             pandas UDF) -> band hashes -> equi-join on (band, hash) ->
+             candidate pairs -> exact-Jaccard verify.  The classic
+             near-dup pipeline; only signature computation touches
+             Python, all pairing is JVM joins.
+- SimHash:   64-bit sign-sum sketch; pigeonhole banding on 16-bit
+             chunks pairs anything within Hamming distance <= 3.
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from pyshp_spark.operators.text import tokens_expr
+
+# ------------------------------------------------------------- exact ----
+
+
+def exact_dedup(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Group identical normalized texts; keep the smallest key as the
+    canonical row.  Returns (keeper_id, dup_count) per distinct text."""
+    norm = F.lower(F.trim(F.col(text)))
+    return (
+        df.groupBy(norm.alias("norm_text"))
+        .agg(F.min(key).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup_filter(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """The corpus with only the canonical row per duplicate group kept."""
+    keep = exact_dedup(df, key, text).select(F.col("keeper_id").alias(key))
+    return df.join(keep, on=key, how="left_semi")
+
+
+# ----------------------------------------------------- n-gram Jaccard ----
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with word-token-set Jaccard >= threshold.
+
+    Plan: distinct (doc, token) -> self equi-join on token (the
+    blocking join; a token acts as an inverted-index posting) ->
+    groupBy pair -> |intersection| vs |A|+|B|-|inter|.  Token join is
+    the only shuffle; hot tokens can be capped upstream (stopword
+    removal) when corpora are large.
+    """
+    toks = (
+        df.select(F.col(key).alias("id"), F.explode(tokens_expr(F.col(text))).alias("tok"))
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("nset"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, on="tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nset", "na"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nset", "nb"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "jaccard")
+
+
+# ------------------------------------------------------------ MinHash ----
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingles(text: str, width: int = 3) -> set[bytes]:
+    """Word w-shingles of the lower-cased text, utf-8 encoded."""
+    toks = [t for t in ("" if text is None else text).lower().split() if t]
+    if len(toks) < width:
+        return {" ".join(toks).encode()} if toks else set()
+    return {" ".join(toks[i : i + width]).encode() for i in range(len(toks) - width + 1)}
+
+
+def minhash_signature_py(text: str, num_perm: int = 64, width: int = 3,
+                         seed: int = 1) -> np.ndarray:
+    """Single-doc oracle-side signature (crc32 base hash + affine perms
+    mod the Mersenne prime 2^61-1)."""
+    a, b = _minhash_params(num_perm, seed)
+    sh = shingles(text, width)
+    if not sh:
+        return np.zeros(num_perm, dtype=np.int64)
+    base = np.array([zlib.crc32(s) for s in sh], dtype=np.uint64)
+    vals = (a[None, :] * base[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0).astype(np.int64)
+
+
+def minhash_udf(num_perm: int = 64, width: int = 3, seed: int = 1):
+    a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = shingles(t, width)
+            if not sh:
+                out.append(np.zeros(num_perm, dtype=np.int64))
+                continue
+            base = np.array([zlib.crc32(s) for s in sh], dtype=np.uint64)
+            vals = (a[None, :] * base[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    width: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with exact-Jaccard verification.
+
+    bands * rows_per_band == num_perm; a pair collides when any band's
+    signature slice matches.  Candidates are verified with the true
+    token-shingle Jaccard (vectorized pandas UDF over the joined texts)
+    so output has no false positives w.r.t. ``threshold``.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_udf(num_perm, width, seed)
+    with_sig = df.select(
+        F.col(key).alias("id"), F.col(text).alias("__txt"), sig(F.col(text)).alias("__sig")
+    )
+    banded = with_sig.select(
+        "id",
+        "__txt",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("band_hash", F.hash("band", F.col("band_sig").cast("string")))
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("__txt").alias("__txt_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("__txt").alias("__txt_b"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__txt_a", "__txt_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf("double")
+    def true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = shingles(x, width), shingles(y, width)
+            u = len(sa | sb)
+            out[i] = len(sa & sb) / u if u else 0.0
+        return pd.Series(out)
+
+    return (
+        cand.withColumn("jaccard", F.round(true_jaccard("__txt_a", "__txt_b"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ SimHash ----
+
+
+def simhash64_py(text: str) -> int:
+    toks = [t for t in ("" if text is None else text).lower().split() if t]
+    if not toks:
+        return 0
+    hashes = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
+    # widen crc32 to 64 bits deterministically
+    h64 = hashes * np.uint64(0x9E3779B97F4A7C15)
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0)
+    out = 0
+    for i in range(64):
+        out |= int(v[i]) << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_udf():
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash64_py(t) for t in texts], dtype=np.int64)
+
+    return sh
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs within Hamming distance <= max_hamming via
+    pigeonhole banding on four 16-bit chunks (any pair with <= 3
+    differing bits must agree on at least one chunk), verified with an
+    exact popcount."""
+    with_sig = df.select(F.col(key).alias("id"), simhash_udf()(F.col(text)).alias("sh"))
+    chunks = with_sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    right = chunks.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    cand = (
+        left.join(right, on=["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_brute``: exact top-k by cosine — the correctness
+  baseline.  Dot products run JVM-side via ``F.aggregate``/``zip_with``
+  Column expressions (no Python), queries broadcast.
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path —
+  sign-bit sketches via one vectorized pandas UDF, bucket equi-join
+  (multi-probe over bit-flip neighbors), exact rerank inside buckets.
+- ``embedding_dedup_pairs``: near-duplicate pairs with cosine >= tau
+  blocked by LSH bucket.
+
+At 10^12-row scale the brute path is the per-bucket rerank kernel; the
+LSH join is what bounds the candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays, JVM-side.
+    Elements are cast to double BEFORE multiplying (matches DuckDB's
+    list_dot_product numerics on FLOAT[] input)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, JVM dot products,
+    per-query window top-k (Spark optimizes row_number<=k to a
+    per-partition top-k).  Output: (query_id, vec_id, cosine, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
+    scored = q.crossJoin(c).withColumn(
+        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 5):
+    """Sign-bit sketch of each embedding against seeded hyperplanes,
+    packed into an int64 bucket id; one Arrow batch = one matmul."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes.T) >= 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 5,
+    probe_bits: int = 1,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: LSH bucket equi-join + exact rerank.
+
+    ``probe_bits``: queries also probe buckets within Hamming distance
+    <= probe_bits of their own bucket (multi-probe) — recall knob that
+    costs a (n_planes choose probe_bits)-way explode on the small query
+    side only.
+    """
+    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        bucket(F.col(corpus_vec)).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        bucket(F.col(query_vec)).alias("__b0"),
+    )
+    probes = [F.col("__b0")]
+    if probe_bits >= 1:
+        probes += [
+            F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    if probe_bits >= 2:
+        probes += [
+            F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q = q.withColumn("__bucket", F.explode(F.array(*probes)))
+    cand = F.broadcast(q).join(c, on="__bucket").dropDuplicates(["query_id", "vec_id"])
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    tau: float,
+    dim: int,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine >= tau, LSH-blocked.
+
+    With few planes (default 8) a cos>=tau pair collides with
+    probability (1 - theta/pi)^8 — use more aggressive multi-probe or
+    exact blocking for strict recall; exactness within a bucket is
+    guaranteed.
+    """
+    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    b = df.select(
+        F.col(vec_id).alias("id"), F.col(vec).alias("__v"), bucket(F.col(vec)).alias("__bucket")
+    )
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    return (
+        left.join(right, on="__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path metrics are pure Column expressions (JVM codegen, no
+Python); only the rolling-hash fingerprint crosses into an Arrow
+pandas UDF.  Each operator has an exact ANSI-SQL mirror used by the
+DuckDB oracle (see __spark_entry__.py), so semantics are pinned:
+
+- token_count: non-empty chunks after splitting on ``\\s+``;
+- quality metrics: char len, token count, punctuation count, alpha
+  ratio, stopword ratio; quality_score = weighted combination;
+- lang_id: stopword-hit voting between small EN/ES/FR/DE lists with a
+  deterministic tie-break order (en > es > fr > de);
+- fingerprint: 64-bit polynomial rolling hash of the normalized text
+  (vectorized pandas UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+PUNCT_CLASS = "[.,!?;:]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "des", "du", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # tie-break priority
+
+
+def tokens_expr(text: Column) -> Column:
+    """Non-empty whitespace-separated tokens of lower-cased text."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def stopword_hits_expr(text: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(tokens_expr(text), lambda t: F.array_contains(words, t))
+    )
+
+
+def punct_count_expr(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+
+
+def alpha_ratio_expr(text: Column) -> Column:
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return alpha / F.greatest(F.length(text), F.lit(1))
+
+
+def with_text_quality(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds n_chars_q, n_tokens, punct_cnt, alpha_ratio, stop_ratio,
+    quality_score columns.  quality_score in [0,1], higher = cleaner."""
+    t = F.col(text)
+    out = (
+        df.withColumn("n_chars_q", F.length(t).cast("long"))
+        .withColumn("n_tokens", token_count_expr(t).cast("long"))
+        .withColumn("punct_cnt", punct_count_expr(t).cast("long"))
+        .withColumn("alpha_ratio", F.round(alpha_ratio_expr(t), 6))
+        .withColumn(
+            "stop_ratio",
+            F.round(
+                stopword_hits_expr(t, "en")
+                / F.greatest(token_count_expr(t), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    return out.withColumn(
+        "quality_score",
+        F.round(
+            F.least(F.col("alpha_ratio") * 0.5 + F.col("stop_ratio") * 2.0, F.lit(1.0)),
+            6,
+        ),
+    )
+
+
+def with_lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-voting language id with deterministic tie-break."""
+    t = F.col(text)
+    hits = {lang: stopword_hits_expr(t, lang) for lang in LANG_ORDER}
+    best = hits[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        best = F.greatest(best, hits[lang])
+    expr = F.lit("unknown")
+    # reverse order so earlier languages win ties
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return df.withColumn(out, expr)
+
+
+# SQL mirrors (DuckDB dialect) -------------------------------------------
+
+def tokens_sql(text: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text}), '\\s+'), x -> x <> '')"
+    )
+
+
+def token_count_sql(text: str) -> str:
+    return f"len({tokens_sql(text)})"
+
+
+def stopword_hits_sql(text: str, lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens_sql(text)}, x -> x IN ({inlist})))"
+
+
+def quality_sql_columns(text: str) -> dict[str, str]:
+    tc = token_count_sql(text)
+    return {
+        "n_chars_q": f"CAST(length({text}) AS BIGINT)",
+        "n_tokens": f"CAST({tc} AS BIGINT)",
+        "punct_cnt": (
+            f"CAST(length({text}) - length(regexp_replace({text}, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)"
+        ),
+        "alpha_ratio": (
+            f"round(length(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
+            f" / greatest(length({text}), 1), 6)"
+        ),
+        "stop_ratio": f"round({stopword_hits_sql(text, 'en')} / greatest({tc}, 1), 6)",
+    }
+
+
+def lang_id_sql(text: str) -> str:
+    h = {lang: stopword_hits_sql(text, lang) for lang in LANG_ORDER}
+    best = f"greatest({', '.join(h.values())})"
+    expr = "'unknown'"
+    for lang in reversed(LANG_ORDER):
+        expr = (
+            f"CASE WHEN {h[lang]} > 0 AND {h[lang]} = {best} THEN '{lang}' "
+            f"ELSE {expr} END"
+        )
+    return expr
+
+
+# fingerprint -------------------------------------------------------------
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def fingerprint64(texts: pd.Series) -> pd.Series:
+    """64-bit polynomial rolling hash over UTF-8 bytes, arithmetic mod
+    2**64 (uint64 wrap-around): h = sum((b_i + 1) * B^(n-1-i)).  Fully
+    vectorized per document — no per-byte Python loop."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(("" if t is None else t).encode("utf-8"), dtype=np.uint8)
+        n = len(b)
+        if n == 0:
+            out[i] = _FP_OFFSET
+            continue
+        powers = np.full(n, _FP_BASE, dtype=np.uint64)
+        powers[0] = 1
+        powers = np.cumprod(powers)  # B^0 .. B^(n-1), wrapping mod 2^64
+        out[i] = np.sum((b.astype(np.uint64) + 1) * powers[::-1], dtype=np.uint64)
+    return pd.Series(out.astype(np.int64))
+
+
+def fingerprint_udf():
+    return F.pandas_udf(fingerprint64, LongType())
+
+
+def with_fingerprint(df: DataFrame, text: str = "text", out: str = "fp64") -> DataFrame:
+    return df.withColumn(out, fingerprint_udf()(F.col(text)))

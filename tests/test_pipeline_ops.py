@@ -1,0 +1,277 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal.
+
+Oracles are exact single-node Python recomputations (sets/numpy) over
+the same inputs — no Spark on the oracle side.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyshp_spark.fixtures.images import images_fixture
+from pyshp_spark.kernels.image import decode_image, psnr
+from pyshp_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signature_py,
+    minhash_udf,
+    shingles,
+    simhash64_py,
+    simhash_dedup_pairs,
+    token_jaccard_pairs,
+)
+from pyshp_spark.operators.multimodal import (
+    phash_dedup_pairs,
+    resize_nearest,
+    with_image_stats,
+)
+from pyshp_spark.operators.similarity import (
+    cosine_topk_brute,
+    embedding_dedup_pairs,
+    lsh_topk,
+)
+from pyshp_spark.operators.text import (
+    fingerprint64,
+    with_fingerprint,
+    with_lang_id,
+    with_text_quality,
+)
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog and runs through green fields "
+    "near la casa del rio que es muy grande y los arboles son altos "
+    "le chat est dans la maison et les oiseaux du jardin"
+).split()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(5, 30))
+        text = " ".join(rng.choice(WORDS, size=n))
+        rows.append({"doc_id": i, "text": text})
+    # exact duplicates
+    rows.append({"doc_id": 500, "text": rows[0]["text"]})
+    rows.append({"doc_id": 501, "text": rows[1]["text"]})
+    # near duplicate (one word changed)
+    toks = rows[2]["text"].split()
+    toks[len(toks) // 2] = "changed"
+    rows.append({"doc_id": 502, "text": " ".join(toks)})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, docs_pdf):
+    return spark.createDataFrame(docs_pdf).cache()
+
+
+class TestExactDedup:
+    def test_groups(self, docs_df, docs_pdf):
+        out = exact_dedup(docs_df).collect()
+        by_text = docs_pdf.assign(norm=docs_pdf.text.str.lower().str.strip()).groupby("norm")
+        want = {
+            (int(g.doc_id.min()), len(g)) for _, g in by_text
+        }
+        got = {(r.keeper_id, r.dup_count) for r in out}
+        assert got == want
+        assert max(r.dup_count for r in out) == 2  # the injected dups
+
+
+class TestTokenJaccard:
+    def test_matches_python_oracle(self, docs_df, docs_pdf):
+        out = token_jaccard_pairs(docs_df, threshold=0.8).collect()
+        # oracle
+        sets = {
+            int(r.doc_id): set(r.text.lower().split())
+            for r in docs_pdf.itertuples(index=False)
+        }
+        want = set()
+        ids = sorted(sets)
+        for i_pos, a in enumerate(ids):
+            for b in ids[i_pos + 1 :]:
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = inter / len(sets[a] | sets[b])
+                if round(j, 6) >= 0.8:
+                    want.add((a, b))
+        got = {(r.id_a, r.id_b) for r in out}
+        assert got == want
+        assert (0, 500) in got  # exact dup pair has jaccard 1.0
+
+
+class TestMinHash:
+    def test_udf_matches_python(self, spark, docs_df, docs_pdf):
+        sig_df = docs_df.select(
+            "doc_id", minhash_udf()(F.col("text")).alias("sig")
+        ).collect()
+        for row in sig_df[:20]:
+            text = docs_pdf.loc[docs_pdf.doc_id == row.doc_id, "text"].iloc[0]
+            np.testing.assert_array_equal(
+                np.array(row.sig), minhash_signature_py(text)
+            )
+
+    def test_finds_near_dups(self, docs_df):
+        out = minhash_dedup_pairs(docs_df, threshold=0.5).collect()
+        pairs = {(r.id_a, r.id_b) for r in out}
+        assert (0, 500) in pairs and (1, 501) in pairs  # exact dups
+        assert (2, 502) in pairs  # near dup
+        for r in out:
+            assert r.jaccard >= 0.5
+
+    def test_no_false_positives(self, docs_df, docs_pdf):
+        out = minhash_dedup_pairs(docs_df, threshold=0.3).collect()
+        for r in out:
+            ta = docs_pdf.loc[docs_pdf.doc_id == r.id_a, "text"].iloc[0]
+            tb = docs_pdf.loc[docs_pdf.doc_id == r.id_b, "text"].iloc[0]
+            sa, sb = shingles(ta), shingles(tb)
+            assert round(len(sa & sb) / len(sa | sb), 6) == r.jaccard
+
+
+class TestSimHash:
+    def test_exact_dups_have_zero_distance(self, docs_df):
+        out = simhash_dedup_pairs(docs_df, max_hamming=3).collect()
+        pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+        assert pairs.get((0, 500)) == 0
+        assert pairs.get((1, 501)) == 0
+
+    def test_udf_matches_python(self, docs_pdf):
+        # direct kernel check
+        t = docs_pdf.text.iloc[0]
+        assert simhash64_py(t) == simhash64_py(t)
+        assert simhash64_py(t) != simhash64_py(docs_pdf.text.iloc[5])
+
+
+class TestTextOps:
+    def test_quality_columns(self, docs_df, docs_pdf):
+        out = with_text_quality(docs_df).orderBy("doc_id").limit(5).collect()
+        for r in out:
+            text = docs_pdf.loc[docs_pdf.doc_id == r.doc_id, "text"].iloc[0]
+            assert r.n_chars_q == len(text)
+            assert r.n_tokens == len(text.split())
+
+    def test_lang_id_spanish_vs_english(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "the cat is in the house and the dog was out",
+                        "la casa de los arboles que se ven en el rio",
+                        "zzz qqq xxx",
+                    ],
+                }
+            )
+        )
+        got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+        assert got == {1: "en", 2: "es", 3: "unknown"}
+
+    def test_fingerprint_deterministic(self, docs_df):
+        out1 = with_fingerprint(docs_df).orderBy("doc_id").limit(10).collect()
+        texts = pd.Series([r.text for r in out1])
+        np.testing.assert_array_equal(
+            fingerprint64(texts).to_numpy(), np.array([r.fp64 for r in out1])
+        )
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    return spark.read.parquet(path).cache()
+
+
+class TestSimilarity:
+    def test_brute_topk_is_exact(self, spark, emb_df):
+        pdf = emb_df.limit(200).toPandas()
+        queries = spark.createDataFrame(pdf.head(5)[["vec_id", "embedding"]]).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        corpus = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        out = cosine_topk_brute(queries, corpus, k=3).collect()
+        # numpy oracle
+        m = np.vstack(pdf.embedding.map(lambda v: np.asarray(v, dtype=np.float64)))
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf.vec_id.to_numpy()
+        for qi in range(5):
+            cos = np.round(mn[qi] @ mn.T, 6)
+            order = sorted(zip(-cos, ids))[:3]
+            want = [int(i) for _, i in order]
+            got = [
+                r.vec_id
+                for r in sorted(
+                    [r for r in out if r.query_id == ids[qi]], key=lambda r: r.rank
+                )
+            ]
+            assert got == want
+
+    def test_lsh_recall(self, spark, emb_df):
+        pdf = emb_df.limit(400).toPandas()
+        dim = len(pdf.embedding.iloc[0])
+        queries = spark.createDataFrame(pdf.head(20)[["vec_id", "embedding"]]).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        corpus = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        brute = cosine_topk_brute(queries, corpus, k=5).collect()
+        approx = lsh_topk(queries, corpus, k=5, dim=dim, n_planes=6, probe_bits=2).collect()
+        bset = {(r.query_id, r.vec_id) for r in brute}
+        aset = {(r.query_id, r.vec_id) for r in approx}
+        recall = len(bset & aset) / len(bset)
+        # random high-dim embeddings are the worst case for hyperplane
+        # LSH (top-k cosines are small); seeded, generous bound
+        assert recall >= 0.4
+        # self-match always found
+        assert all((q, q) in aset for q in pdf.head(20).vec_id)
+
+    def test_embedding_dedup_self_similarity(self, spark, emb_df):
+        pdf = emb_df.limit(100).toPandas()
+        dup = pdf.head(3).copy()
+        dup["vec_id"] = dup["vec_id"] + 100000
+        both = pd.concat([pdf, dup])
+        df = spark.createDataFrame(both)
+        dim = len(pdf.embedding.iloc[0])
+        out = embedding_dedup_pairs(df, tau=0.999999, dim=dim).collect()
+        got = {(r.id_a, r.id_b) for r in out}
+        for v in dup.vec_id:
+            assert (int(v) - 100000, int(v)) in got
+
+
+class TestMultimodal:
+    def test_image_stats_and_phash(self, spark):
+        pdf = images_fixture(n=40, seed=3)
+        df = spark.createDataFrame(pdf)
+        out = with_image_stats(df).collect()
+        assert len(out) == 40
+        for r in out:
+            assert r.phash_check == next(
+                int(p) for i, p in zip(pdf.image_id, pdf.phash) if i == r.image_id
+            )
+            assert 0 <= r.mean_r <= 255
+
+    def test_png_roundtrip_psnr(self):
+        pdf = images_fixture(n=10, seed=3, png_every=1)
+        for row in pdf.itertuples(index=False):
+            rgb = decode_image(row.bytes, row.w, row.h, row.fmt)
+            ref_rng = np.random.default_rng(3 * 1_000_003 + int(row.image_id[4:]))
+            want = ref_rng.integers(0, 256, size=(row.h, row.w, 3), dtype=np.uint8)
+            assert psnr(rgb, want) == float("inf")  # lossless codec
+
+    def test_resize(self, spark):
+        pdf = images_fixture(n=12, seed=3)
+        df = spark.createDataFrame(pdf)
+        out = resize_nearest(df, 8, 8).collect()
+        for r in out:
+            assert (r.w, r.h, r.fmt) == (8, 8, "raw")
+            assert len(bytes(r.bytes)) == 8 * 8 * 3
+
+    def test_phash_pairs_on_duplicates(self, spark):
+        pdf = images_fixture(n=30, seed=3)
+        dup = pdf.head(2).copy()
+        dup["image_id"] = dup["image_id"] + "_copy"
+        df = spark.createDataFrame(pd.concat([pdf, dup]))
+        out = phash_dedup_pairs(df, max_hamming=0).collect()
+        got = {(r.id_a, r.id_b) for r in out}
+        for i in pdf.head(2).image_id:
+            assert (i, i + "_copy") in got
