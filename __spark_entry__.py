@@ -1,38 +1,639 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps SURVEY.md §2 operators onto the driver-provided TPC-H-ish tables:
+geometry is derived DETERMINISTICALLY from table keys (integer-modulo
+plane coordinates on [0,1000)^2) so every spatial operator has an exact
+ANSI-SQL oracle DuckDB can run on the same parquet — including the
+ray-cast point-in-polygon join, whose polygons are diamonds
+|x-cx|+|y-cy|<r (non-axis-aligned edges exercise the real crossing
+kernel, while the SQL mirror is a pure inequality).  Coordinate offsets
+(0.25/0.1/0.5) guarantee no point ever lies on a polygon boundary or
+vertex ray, so ray-cast and inequality agree exactly.
+
+Non-SQL-expressible ops (MinHash/SimHash sketches, LSH ANN, rolling-
+hash fingerprints, GeoJSON export) are exposed as rows-only queries and
+carry exact pytest oracles instead (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import BinaryType  # noqa: E402
+
+from pyshp_spark.functions.cells import Grid  # noqa: E402
+from pyshp_spark.functions.geojson import geojson_udf  # noqa: E402
+from pyshp_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_udf,
+    simhash_udf,
+    token_jaccard_pairs,
+)
+from pyshp_spark.operators.similarity import (  # noqa: E402
+    cosine_expr,
+    cosine_topk_brute,
+    lsh_topk,
+)
+from pyshp_spark.operators.spatial import (  # noqa: E402
+    bbox_overlap_join,
+    knn_join,
+    point_in_polygon_join,
+    spatial_anti_join,
+    spatial_semi_join,
+)
+from pyshp_spark.operators.text import (  # noqa: E402
+    lang_id_sql,
+    quality_sql_columns,
+    with_fingerprint,
+    with_lang_id,
+    with_text_quality,
+)
+
+# plane grid: 64x64 cells over [0,1000)^2; 1000/64 = 15.625 exact binary
+ENTRY_GRID = Grid(x0=0.0, y0=0.0, dx=15.625, dy=15.625, width=1 << 20)
+
+# ---------------------------------------------------------------------------
+# derived inputs (Spark side) — formulas mirrored EXACTLY in the SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points from lineitem: one per line item, lattice + fixed offsets."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        (((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)).alias("x"),
+        (((F.col("l_suppkey") * 13) % 1000).cast("double") + F.lit(0.1)).alias("y"),
+    )
+
+
+_PTS_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS point_id,
+       CAST((l_partkey * 7) % 1000 AS DOUBLE) + 0.25 AS x,
+       CAST((l_suppkey * 13) % 1000 AS DOUBLE) + 0.1 AS y
+FROM lineitem
+"""
+
+
+def _diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond polygons from part: center lattice + integer radius."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    d = p.select(
+        F.col("p_partkey").alias("oid"),
+        F.col("p_brand").alias("brand"),
+        (((F.col("p_partkey") * 37) % 960).cast("double") + F.lit(20.0)).alias("cx"),
+        (((F.col("p_partkey") * 91) % 960).cast("double") + F.lit(20.0)).alias("cy"),
+        ((F.col("p_partkey") % 13) + 3).cast("double").alias("r"),
+    )
+    return d.select(
+        "oid",
+        "brand",
+        "cx",
+        "cy",
+        "r",
+        (F.col("cx") - F.col("r")).alias("xmin"),
+        (F.col("cy") - F.col("r")).alias("ymin"),
+        (F.col("cx") + F.col("r")).alias("xmax"),
+        (F.col("cy") + F.col("r")).alias("ymax"),
+    )
+
+
+_DIAMONDS_SQL = """
+SELECT p_partkey AS oid,
+       p_brand AS brand,
+       CAST((p_partkey * 37) % 960 AS DOUBLE) + 20.0 AS cx,
+       CAST((p_partkey * 91) % 960 AS DOUBLE) + 20.0 AS cy,
+       CAST((p_partkey % 13) + 3 AS DOUBLE) AS r,
+       CAST((p_partkey * 37) % 960 AS DOUBLE) + 20.0 - (CAST((p_partkey % 13) + 3 AS DOUBLE)) AS xmin,
+       CAST((p_partkey * 91) % 960 AS DOUBLE) + 20.0 - (CAST((p_partkey % 13) + 3 AS DOUBLE)) AS ymin,
+       CAST((p_partkey * 37) % 960 AS DOUBLE) + 20.0 + (CAST((p_partkey % 13) + 3 AS DOUBLE)) AS xmax,
+       CAST((p_partkey * 91) % 960 AS DOUBLE) + 20.0 + (CAST((p_partkey % 13) + 3 AS DOUBLE)) AS ymax
+FROM part
+"""
+
+
+def _diamond_wkb(df: DataFrame) -> DataFrame:
+    """Attach real polygon WKB (4-vertex diamond, CW exterior) so the
+    PIP join exercises the actual ray-cast refine kernel."""
+
+    @F.pandas_udf(BinaryType())
+    def mk(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        from pyshp_spark.kernels.wkb import wkb_polygon  # noqa: PLC0415
+
+        out = []
+        for a, b, c in zip(cx, cy, r):
+            ring = np.array(
+                [
+                    [a, b + c],
+                    [a + c, b],
+                    [a, b - c],
+                    [a - c, b],
+                    [a, b + c],
+                ],
+                dtype=np.float64,
+            )
+            out.append(wkb_polygon([ring]))
+        return pd.Series(out)
+
+    return df.withColumn("wkb", mk(F.col("cx"), F.col("cy"), F.col("r")))
+
+
+def _qpts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN query points from customer (1 in 15)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.where((F.col("c_custkey") % 15) == 0).select(
+        F.col("c_custkey").alias("query_id"),
+        (((F.col("c_custkey") * 29) % 1000).cast("double") + F.lit(0.5)).alias("x"),
+        (((F.col("c_custkey") * 53) % 1000).cast("double") + F.lit(0.5)).alias("y"),
+    )
+
+
+_QPTS_SQL = """
+SELECT c_custkey AS query_id,
+       CAST((c_custkey * 29) % 1000 AS DOUBLE) + 0.5 AS x,
+       CAST((c_custkey * 53) % 1000 AS DOUBLE) + 0.5 AS y
+FROM customer
+WHERE (c_custkey % 15) = 0
+"""
+
+
+def _tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster tiles from events: 64x64 plane tiles of size 15.625."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = e.select(
+        F.col("event_id").alias("tile_id"),
+        (F.col("event_id") % 64).cast("int").alias("tile_x"),
+        ((F.col("event_id") * 31) % 64).cast("int").alias("tile_y"),
+    )
+    return t.select(
+        "tile_id",
+        "tile_x",
+        "tile_y",
+        (F.col("tile_x").cast("double") * 15.625).alias("rxmin"),
+        (F.col("tile_y").cast("double") * 15.625).alias("rymin"),
+        ((F.col("tile_x") + 1).cast("double") * 15.625).alias("rxmax"),
+        ((F.col("tile_y") + 1).cast("double") * 15.625).alias("rymax"),
+    )
+
+
+_TILES_SQL = """
+SELECT event_id AS tile_id,
+       CAST(event_id % 64 AS INTEGER) AS tile_x,
+       CAST((event_id * 31) % 64 AS INTEGER) AS tile_y,
+       CAST(event_id % 64 AS DOUBLE) * 15.625 AS rxmin,
+       CAST((event_id * 31) % 64 AS DOUBLE) * 15.625 AS rymin,
+       CAST(event_id % 64 + 1 AS DOUBLE) * 15.625 AS rxmax,
+       CAST((event_id * 31) % 64 + 1 AS DOUBLE) * 15.625 AS rymax
+FROM events
+"""
+
+_CELL_SQL = (
+    "(CAST(floor(x / 15.625) AS BIGINT)"
+    " + CAST(floor(y / 15.625) AS BIGINT) * 1048576)"
+)
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+QUERY_BBOX = (100.5, 200.5, 300.25, 400.75)
+
+
+def q_bbox_filter(spark, sf_dir):
+    x0, y0, x1, y1 = QUERY_BBOX
+    return _pts(spark, sf_dir).where(
+        (F.col("x") >= x0) & (F.col("x") <= x1)
+        & (F.col("y") >= y0) & (F.col("y") <= y1)
+    )
+
+
+def q_cell_count(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    return (
+        pts.withColumn("cell", ENTRY_GRID.cell_expr(F.col("x"), F.col("y")))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_extent_agg(spark, sf_dir):
+    return (
+        _diamonds(spark, sf_dir)
+        .groupBy("brand")
+        .agg(
+            F.min("xmin").alias("ext_xmin"),
+            F.min("ymin").alias("ext_ymin"),
+            F.max("xmax").alias("ext_xmax"),
+            F.max("ymax").alias("ext_ymax"),
+            F.count("*").alias("n_shapes"),
+        )
+    )
+
+
+def q_pip_join(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    out = point_in_polygon_join(
+        pts, dia, x="x", y="y", grid=ENTRY_GRID, polygon_cols=["oid"]
+    )
+    return out.select("point_id", "oid")
+
+
+def q_spatial_semi(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    # point_id is not unique across lineitem rows (orderkey*10+linenumber
+    # can collide), so dedup on the id itself to match DISTINCT point_id
+    return (
+        spatial_semi_join(pts, dia, x="x", y="y", grid=ENTRY_GRID)
+        .select("point_id")
+        .distinct()
+    )
+
+
+def q_spatial_anti(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    return spatial_anti_join(pts, dia, x="x", y="y", grid=ENTRY_GRID).select(
+        "point_id"
+    )
+
+
+def q_knn(spark, sf_dir):
+    q = _qpts(spark, sf_dir)
+    t = _diamonds(spark, sf_dir).select("oid", F.col("cx").alias("x"), F.col("cy").alias("y"))
+    out = knn_join(
+        q, t, k=5, grid=ENTRY_GRID, query_id="query_id",
+        target_cols=["oid", "x", "y"], tie_break="oid",
+    )
+    return out.select("query_id", "oid", "dist2", F.col("knn_rank").alias("rank"))
+
+
+def q_tile_assign(spark, sf_dir):
+    tiles = _tiles(spark, sf_dir)
+    dia = _diamonds(spark, sf_dir)
+    out = bbox_overlap_join(
+        tiles.select("tile_id", "rxmin", "rymin", "rxmax", "rymax"),
+        dia.select("oid", "xmin", "ymin", "xmax", "ymax"),
+        grid=ENTRY_GRID,
+        out_cols=["tile_id", "oid"],
+    )
+    return out
+
+
+def q_count_extent(spark, sf_dir):
+    return _diamonds(spark, sf_dir).agg(
+        F.count("*").alias("n_features"),
+        F.min("xmin").alias("ext_xmin"),
+        F.min("ymin").alias("ext_ymin"),
+        F.max("xmax").alias("ext_xmax"),
+        F.max("ymax").alias("ext_ymax"),
+    )
+
+
+def q_union_merge(spark, sf_dir):
+    a = _pts(spark, sf_dir).select("point_id", "x", "y").withColumn(
+        "src", F.lit("lineitem")
+    )
+    b = _qpts(spark, sf_dir).select(
+        F.col("query_id").alias("point_id"), "x", "y"
+    ).withColumn("src", F.lit("customer"))
+    return a.unionByName(b).groupBy("src").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("y").alias("max_y"),
+    )
+
+
+def q_project_slice(spark, sf_dir):
+    return (
+        _pts(spark, sf_dir)
+        .where(F.col("point_id").between(100000, 200000))
+        .select("point_id", "x")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, key="doc_id", text="text")
+
+
+def q_token_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") % 5) == 0
+    )
+    return token_jaccard_pairs(docs, key="doc_id", text="text", threshold=0.6)
+
+
+def q_text_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_text_quality(docs, text="text")
+    return out.select(
+        "doc_id", "n_chars_q", "n_tokens", "punct_cnt", "alpha_ratio", "stop_ratio"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs, text="text").select("doc_id", "lang_pred")
+
+
+def q_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_text_quality(docs, text="text")
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars_q").alias("total_chars"),
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 25) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_brute(queries, emb, k=3)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label"),
+        F.col("embedding").alias("__va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
+        F.col("embedding").alias("__vb"),
+    )
+    return (
+        a.join(b, on="label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine") >= 0.15)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# rows-only queries (no SQL oracle; exact pytest oracles in tests/)
+
+
+def q_minhash_sig(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.element_at(minhash_udf()(F.col("text")), 1).alias("sig0")
+    )
+
+
+def q_simhash_sig(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_fingerprint(docs, text="text").select("doc_id", "fp64")
+
+
+def q_lsh_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 50) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = 64
+    return lsh_topk(queries, emb, k=3, dim=dim, n_planes=6, probe_bits=2)
+
+
+def q_geojson_export(spark, sf_dir):
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    return dia.select(
+        "oid",
+        geojson_udf()(F.col("wkb"), F.lit(5)).alias("geojson"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ray-cast point-in-polygon join at sf0.001."""
+    return q_pip_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bbox_filter": q_bbox_filter,
+        "cell_count": q_cell_count,
+        "extent_agg": q_extent_agg,
+        "pip_join": q_pip_join,
+        "spatial_semi": q_spatial_semi,
+        "spatial_anti": q_spatial_anti,
+        "knn": q_knn,
+        "tile_assign": q_tile_assign,
+        "count_extent": q_count_extent,
+        "union_merge": q_union_merge,
+        "project_slice": q_project_slice,
+        "dedup_exact": q_dedup_exact,
+        "token_jaccard": q_token_jaccard,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "ann_cosine": q_ann_cosine,
+        "embedding_dedup": q_embedding_dedup,
+        "minhash_sig": q_minhash_sig,
+        "simhash_sig": q_simhash_sig,
+        "fingerprint": q_fingerprint,
+        "lsh_ann": q_lsh_ann,
+        "geojson_export": q_geojson_export,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    x0, y0, x1, y1 = QUERY_BBOX
+    pip_pred = "abs(p.x - d.cx) + abs(p.y - d.cy) < d.r"
+    quality = quality_sql_columns("text")
+    return {
+        "bbox_filter": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT point_id, x, y FROM pts
+            WHERE x >= {x0} AND x <= {x1} AND y >= {y0} AND y <= {y1}
+        """,
+        "cell_count": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT {_CELL_SQL} AS cell, count(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        "extent_agg": f"""
+            WITH d AS ({_DIAMONDS_SQL})
+            SELECT brand, min(xmin) AS ext_xmin, min(ymin) AS ext_ymin,
+                   max(xmax) AS ext_xmax, max(ymax) AS ext_ymax,
+                   count(*) AS n_shapes
+            FROM d GROUP BY brand
+        """,
+        "pip_join": f"""
+            WITH pts AS ({_PTS_SQL}), d AS ({_DIAMONDS_SQL})
+            SELECT p.point_id, d.oid
+            FROM pts p, d
+            WHERE p.x BETWEEN d.xmin AND d.xmax
+              AND p.y BETWEEN d.ymin AND d.ymax
+              AND {pip_pred}
+        """,
+        "spatial_semi": f"""
+            WITH pts AS ({_PTS_SQL}), d AS ({_DIAMONDS_SQL})
+            SELECT DISTINCT p.point_id
+            FROM pts p, d
+            WHERE p.x BETWEEN d.xmin AND d.xmax
+              AND p.y BETWEEN d.ymin AND d.ymax
+              AND {pip_pred}
+        """,
+        "spatial_anti": f"""
+            WITH pts AS ({_PTS_SQL}), d AS ({_DIAMONDS_SQL})
+            SELECT point_id FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d
+                WHERE p.x BETWEEN d.xmin AND d.xmax
+                  AND p.y BETWEEN d.ymin AND d.ymax
+                  AND abs(p.x - d.cx) + abs(p.y - d.cy) < d.r
+            )
+        """,
+        "knn": f"""
+            WITH q AS ({_QPTS_SQL}), d AS ({_DIAMONDS_SQL}),
+            scored AS (
+                SELECT q.query_id, d.oid,
+                       (q.x - d.cx) * (q.x - d.cx) + (q.y - d.cy) * (q.y - d.cy) AS dist2,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (q.x - d.cx) * (q.x - d.cx) + (q.y - d.cy) * (q.y - d.cy), d.oid
+                       ) AS rank
+                FROM q, d
+            )
+            SELECT query_id, oid, dist2, rank FROM scored WHERE rank <= 5
+        """,
+        "tile_assign": f"""
+            WITH t AS ({_TILES_SQL}), d AS ({_DIAMONDS_SQL})
+            SELECT DISTINCT t.tile_id, d.oid
+            FROM t, d
+            WHERE t.rxmin <= d.xmax AND d.xmin <= t.rxmax
+              AND t.rymin <= d.ymax AND d.ymin <= t.rymax
+        """,
+        "count_extent": f"""
+            WITH d AS ({_DIAMONDS_SQL})
+            SELECT count(*) AS n_features, min(xmin) AS ext_xmin,
+                   min(ymin) AS ext_ymin, max(xmax) AS ext_xmax,
+                   max(ymax) AS ext_ymax
+            FROM d
+        """,
+        "union_merge": f"""
+            WITH pts AS ({_PTS_SQL}), q AS ({_QPTS_SQL}),
+            u AS (
+                SELECT point_id, x, y, 'lineitem' AS src FROM pts
+                UNION ALL
+                SELECT query_id AS point_id, x, y, 'customer' AS src FROM q
+            )
+            SELECT src, count(*) AS n_rows, min(x) AS min_x, max(y) AS max_y
+            FROM u GROUP BY src
+        """,
+        "project_slice": f"""
+            WITH pts AS ({_PTS_SQL})
+            SELECT point_id, x FROM pts
+            WHERE point_id BETWEEN 100000 AND 200000
+        """,
+        "dedup_exact": """
+            SELECT lower(trim(text)) AS norm_text,
+                   min(doc_id) AS keeper_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "token_jaccard": """
+            WITH docs AS (
+                SELECT doc_id, text FROM documents WHERE (doc_id % 5) = 0
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id AS id, tok
+                FROM docs,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        x -> x <> '')) AS t(tok)
+            ),
+            sizes AS (SELECT id, count(*) AS nset FROM toks GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+                FROM toks a JOIN toks b USING (tok)
+                WHERE a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, n_inter,
+                   round(n_inter / (sa.nset + sb.nset - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter / (sa.nset + sb.nset - n_inter), 6) >= 0.6
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   {quality['n_chars_q']} AS n_chars_q,
+                   {quality['n_tokens']} AS n_tokens,
+                   {quality['punct_cnt']} AS punct_cnt,
+                   {quality['alpha_ratio']} AS alpha_ratio,
+                   {quality['stop_ratio']} AS stop_ratio
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents
+        """,
+        "token_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum({quality['n_tokens']}) AS total_tokens,
+                   sum({quality['n_chars_q']}) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "ann_cosine": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE (vec_id % 25) = 0
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+                FROM q, embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.15
+        """,
+    }
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(5)

@@ -231,6 +231,42 @@ def tile_assignment(
     raise ValueError(f"unknown tile_assignment mode {mode!r}")
 
 
+def bbox_overlap_join(
+    rects: DataFrame,
+    boxes: DataFrame,
+    grid: Grid = GRID,
+    rect_cols: tuple[str, str, str, str] = ("rxmin", "rymin", "rxmax", "rymax"),
+    out_cols: list[str] | None = None,
+    broadcast_boxes: bool = True,
+) -> DataFrame:
+    """Generic rectangle x bbox overlap join (raster-tile -> polygon
+    assignment on a plane grid): both sides explode to cell covers,
+    equi-join on cell, bbox-overlap Column prefilter (reference
+    semantics, inclusive <=), dedup multi-cell matches.  ``boxes`` needs
+    xmin/ymin/xmax/ymax columns; no UDF refine (bbox semantics are the
+    contract)."""
+    rxmin, rymin, rxmax, rymax = rect_cols
+    cover = cell_cover_udf(grid)
+    build = boxes.withColumn(
+        _P + "cell",
+        F.explode(cover(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))),
+    )
+    if broadcast_boxes:
+        build = F.broadcast(build)
+    probe = rects.withColumn(
+        _P + "cell",
+        F.explode(cover(F.col(rxmin), F.col(rymin), F.col(rxmax), F.col(rymax))),
+    )
+    cand = probe.join(build, on=_P + "cell").where(
+        (F.col(rxmin) <= F.col("xmax"))
+        & (F.col("xmin") <= F.col(rxmax))
+        & (F.col(rymin) <= F.col("ymax"))
+        & (F.col("ymin") <= F.col(rymax))
+    )
+    cols = out_cols or [c for c in rects.columns + boxes.columns if c != _P + "cell"]
+    return cand.select(*cols).dropDuplicates(cols)
+
+
 # ------------------------------------------------------------------ kNN ----
 
 
@@ -254,7 +290,8 @@ def knn_brute(
     t = targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
     joined = queries.crossJoin(F.broadcast(t)).withColumn(
         "dist2",
-        (F.col(qx) - F.col("__t_" + tx)) ** 2 + (F.col(qy) - F.col("__t_" + ty)) ** 2,
+        (F.col(qx) - F.col("__t_" + tx)) * (F.col(qx) - F.col("__t_" + tx))
+        + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
     )
     order = [F.col("dist2")] + (
         [F.col("__t_" + tie_break)] if tie_break else []
@@ -326,8 +363,8 @@ def knn_join(
         )
         cand = q.join(tgt, on=_P + "tcell", how="inner").withColumn(
             "dist2",
-            (F.col(qx) - F.col("__t_" + tx)) ** 2
-            + (F.col(qy) - F.col("__t_" + ty)) ** 2,
+            (F.col(qx) - F.col("__t_" + tx)) * (F.col(qx) - F.col("__t_" + tx))
+            + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
         )
         cand = cand.drop(
             _P + "tcell", _P + "qcol", _P + "qrow", _P + "dc", _P + "dr"
@@ -354,8 +391,8 @@ def knn_join(
                 )
             ).withColumn(
                 "dist2",
-                (F.col(qx) - F.col("__t_" + tx)) ** 2
-                + (F.col(qy) - F.col("__t_" + ty)) ** 2,
+                (F.col(qx) - F.col("__t_" + tx)) * (F.col(qx) - F.col("__t_" + tx))
+                + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
             )
         )
     acc = _union_all(results).dropDuplicates([query_id, "__t_" + tcols[0]] if tcols else [query_id])
