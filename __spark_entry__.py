@@ -58,8 +58,8 @@ from pyshp_spark.operators.text import (  # noqa: E402
     with_text_quality,
 )
 
-# plane grid: 64x64 cells over [0,1000)^2; 1000/64 = 15.625 exact binary
-ENTRY_GRID = Grid(x0=0.0, y0=0.0, dx=15.625, dy=15.625, width=1 << 20)
+# plane grid: 128x128 cells over [0,1000)^2; 1000/128 = 7.8125 exact binary
+ENTRY_GRID = Grid(x0=0.0, y0=0.0, dx=7.8125, dy=7.8125, width=1 << 20)
 
 # ---------------------------------------------------------------------------
 # derived inputs (Spark side) — formulas mirrored EXACTLY in the SQL oracles
@@ -67,8 +67,14 @@ ENTRY_GRID = Grid(x0=0.0, y0=0.0, dx=15.625, dy=15.625, width=1 << 20)
 
 
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Points from lineitem: one per line item, lattice + fixed offsets."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    """Points from lineitem: one per line item, lattice + fixed offsets.
+
+    The testdata parquet is a single row group (unsplittable scan), so
+    spread the probe side across the cluster explicitly — at real scale
+    the many-row-group input makes this repartition unnecessary."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
         (((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)).alias("x"),
@@ -199,8 +205,8 @@ FROM events
 """
 
 _CELL_SQL = (
-    "(CAST(floor(x / 15.625) AS BIGINT)"
-    " + CAST(floor(y / 15.625) AS BIGINT) * 1048576)"
+    "(CAST(floor(x / 7.8125) AS BIGINT)"
+    " + CAST(floor(y / 7.8125) AS BIGINT) * 1048576)"
 )
 
 # ---------------------------------------------------------------------------

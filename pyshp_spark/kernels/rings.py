@@ -254,6 +254,116 @@ def organize_polygon_rings(
     return [[h] for h in holes]
 
 
+def rings_to_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """Flatten a shape's rings into an (E, 4) edge array
+    [x0, y0, x1, y1] — the precomputed form for :func:`pip_pairs`."""
+    parts = []
+    for r in rings:
+        a = _as_xy(r)
+        if len(a) >= 2:
+            parts.append(np.hstack([a[:-1], a[1:]]))
+    if not parts:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.vstack(parts)
+
+
+def stack_edges(edges_per_code: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """[(E_c,4) arrays] -> (all_edges (sumE,4), offsets (P+1,)).
+
+    The flat form pickles as two buffers (vs one object per polygon) —
+    this is what travels in Spark broadcast variables; a 20k-polygon
+    set deserializes in ~ms instead of seconds per Python worker."""
+    counts = np.array([len(e) for e in edges_per_code], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    all_edges = (
+        np.vstack([e for e in edges_per_code if len(e)])
+        if counts.sum()
+        else np.empty((0, 4), dtype=np.float64)
+    )
+    return all_edges, offsets
+
+
+def pip_pairs(
+    edges_per_code: list[np.ndarray], codes: np.ndarray, px, py,
+    chunk_edges: int = 32_768,
+) -> np.ndarray:
+    """Even-odd containment for heterogeneous (point, polygon) PAIRS —
+    list-of-arrays convenience wrapper over :func:`pip_pairs_flat`."""
+    all_edges, offsets = stack_edges(edges_per_code)
+    return pip_pairs_flat(all_edges, offsets, codes, px, py, chunk_edges)
+
+
+def pip_pairs_flat(
+    all_edges: np.ndarray, offsets: np.ndarray, codes: np.ndarray, px, py,
+    chunk_edges: int = 32_768,
+) -> np.ndarray:
+    """Even-odd containment for (point, polygon) pairs, fully vectorized.
+
+    ``all_edges``/``offsets`` from :func:`stack_edges`; ``codes[i]`` is
+    the polygon index of pair i; ``px/py`` the pair's point.  Flattens
+    every pair into its polygon's edge rows (np.repeat indexing),
+    evaluates the reference crossing test on all (pair, edge) rows at
+    once, and segment-sums crossings per pair with np.bincount.
+    Bit-for-bit the same per-edge arithmetic as
+    :func:`ring_contains_points`.
+
+    ``chunk_edges`` bounds the flattened (pair, edge) rows per inner
+    step; the ~32k default keeps every temporary in L2 cache — on a
+    32-core box this is both ~4x faster per core and the difference
+    between DRAM-bandwidth-bound (no multi-core scaling) and
+    compute-bound (near-linear scaling).
+    """
+    codes = np.asarray(codes, dtype=np.int64)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    counts = np.diff(offsets)
+    inside = np.zeros(n, dtype=bool)
+
+    pair_edge_counts = counts[codes]
+    # process pairs in chunks bounded by flattened edge-row count
+    start = 0
+    while start < n:
+        stop = start
+        total = 0
+        while stop < n and (total == 0 or total + pair_edge_counts[stop] <= chunk_edges):
+            total += pair_edge_counts[stop]
+            stop += 1
+        sl = slice(start, stop)
+        cts = pair_edge_counts[sl]
+        m = int(cts.sum())
+        if m == 0:
+            start = stop
+            continue
+        pair_idx = np.repeat(np.arange(stop - start), cts)
+        # flattened edge index: polygon block start + within-block offset
+        block_start = np.repeat(offsets[codes[sl]], cts)
+        within = np.arange(m) - np.repeat(np.concatenate([[0], np.cumsum(cts)[:-1]]), cts)
+        eidx = block_start + within
+        e = all_edges[eidx]
+        x0, y0, x1, y1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        tx = px[sl][pair_idx]
+        ty = py[sl][pair_idx]
+        yf0 = y0 >= ty
+        yf1 = y1 >= ty
+        straddle = yf0 != yf1
+        xf0 = x0 >= tx
+        xf1 = x1 >= tx
+        same = xf0 == xf1
+        crossed = straddle & same & xf0
+        hard = straddle & ~same
+        if hard.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                isect = x1 - (y1 - ty) * (x0 - x1) / (y0 - y1)
+            crossed = crossed | (hard & (isect >= tx))
+        parity = np.bincount(pair_idx, weights=crossed, minlength=stop - start)
+        inside[sl] = (parity.astype(np.int64) & 1).astype(bool)
+        start = stop
+    return inside
+
+
 def points_in_rings_even_odd(rings: list[np.ndarray], px, py) -> np.ndarray:
     """Even-odd containment of points against ALL rings of a shape.
 

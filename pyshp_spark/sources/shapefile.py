@@ -144,7 +144,12 @@ def parse_shp_bytes(
         if content_words <= 0 or rec_start + 4 > len(shp):
             break
         (stype,) = struct.unpack_from("<i", shp, rec_start)
-        parsed = _parse_record(shp, rec_start, next_pos, stype, bbox)
+        try:
+            parsed = _parse_record(shp, rec_start, next_pos, stype, bbox)
+        except (struct.error, ValueError):
+            # truncated/corrupt tail: keep what parsed so far (reference
+            # tolerates corrupt records, test.py:1315-1353)
+            break
         if parsed is not None:
             (pts, parts, bx, z, m, npts) = parsed
             rows["oid"].append(oid)
@@ -375,6 +380,38 @@ def shapefile_to_pandas(
         return geoms
     attrs = parse_dbf_bytes(dbf, fields=fields)
     return geoms.merge(attrs, on="oid", how="inner", sort=True)
+
+
+def read_zip_shapefile(
+    zip_path_or_bytes,
+    bbox=None,
+    fields=None,
+) -> pd.DataFrame:
+    """Read the shapefile(s) inside a .zip (reference zip-source support,
+    sf.py:3962-3998) — all .shp members (with matching .dbf when
+    present) parsed and concatenated, ``src`` column = member name."""
+    import io as _io  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    zf = zipfile.ZipFile(
+        _io.BytesIO(zip_path_or_bytes)
+        if isinstance(zip_path_or_bytes, (bytes, bytearray))
+        else zip_path_or_bytes
+    )
+    names = {n.lower(): n for n in zf.namelist()}
+    frames = []
+    for low, name in sorted(names.items()):
+        if not low.endswith(".shp"):
+            continue
+        shp = zf.read(name)
+        dbf_name = names.get(low[:-4] + ".dbf")
+        dbf = zf.read(dbf_name) if dbf_name else None
+        df = shapefile_to_pandas(shp, dbf, bbox=bbox, fields=fields)
+        df.insert(0, "src", name)
+        frames.append(df)
+    if not frames:
+        raise FileNotFoundError("no .shp members in zip")
+    return pd.concat(frames, ignore_index=True)
 
 
 def _pairs_in_dir(path: str) -> list[tuple[str, str | None]]:

@@ -1,0 +1,4 @@
+from pyshp_spark.streaming.pip_stream import (  # noqa: F401
+    streaming_point_in_polygon,
+    streaming_cell_counts,
+)

@@ -1,0 +1,130 @@
+"""Structured Streaming PIP join + skew planner."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyshp_spark.fixtures.images import images_fixture
+from pyshp_spark.fixtures.polygons import fixture_shapefile_bytes
+from pyshp_spark.operators.skew import cell_histogram, plan_salt_k, skew_stats
+from pyshp_spark.operators.spatial import point_in_polygon_join
+from pyshp_spark.sources.shapefile import parse_shp_bytes
+from pyshp_spark.streaming.pip_stream import (
+    streaming_cell_counts,
+    streaming_point_in_polygon,
+)
+
+POINT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def poly_df(spark):
+    shp, _, _ = fixture_shapefile_bytes(n=40, seed=42)
+    pdf = parse_shp_bytes(shp)[["oid", "wkb", "xmin", "ymin", "xmax", "ymax"]]
+    from pyspark.sql.types import BinaryType, LongType
+
+    schema = StructType(
+        [
+            StructField("oid", LongType()),
+            StructField("wkb", BinaryType()),
+            StructField("xmin", DoubleType()),
+            StructField("ymin", DoubleType()),
+            StructField("xmax", DoubleType()),
+            StructField("ymax", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+class TestStreamingPip:
+    def test_stream_matches_batch(self, spark, poly_df, tmp_path):
+        pdf = images_fixture(n=150, seed=13)[["image_id", "lon", "lat"]]
+        src = tmp_path / "in"
+        src.mkdir()
+        # two micro-batch files
+        half = len(pdf) // 2
+        pdf.iloc[:half].to_parquet(src / "part1.parquet")
+
+        stream = spark.readStream.schema(POINT_SCHEMA).parquet(str(src))
+        out = streaming_point_in_polygon(
+            stream, poly_df, x="lon", y="lat", polygon_cols=["oid"]
+        ).select("image_id", "oid")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("pip_stream")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pdf.iloc[half:].to_parquet(src / "part2.parquet")
+            q.processAllAvailable()
+            got = {
+                (r.image_id, r.oid)
+                for r in spark.sql("SELECT * FROM pip_stream").collect()
+            }
+        finally:
+            q.stop()
+        batch = point_in_polygon_join(
+            spark.createDataFrame(pdf), poly_df, x="lon", y="lat",
+            polygon_cols=["oid"],
+        )
+        want = {(r.image_id, r.oid) for r in batch.select("image_id", "oid").collect()}
+        assert got == want and len(want) > 0
+
+    def test_windowed_cell_counts(self, spark, tmp_path):
+        import pandas as pd
+
+        pdf = images_fixture(n=60, seed=14)[["image_id", "lon", "lat"]].copy()
+        pdf["ts"] = pd.Timestamp("2026-01-01 00:00:30")
+        src = tmp_path / "in2"
+        src.mkdir()
+        pdf.to_parquet(src / "p.parquet")
+        schema = POINT_SCHEMA.add(StructField("ts", TimestampType()))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        counts = streaming_cell_counts(stream, x="lon", y="lat", ts="ts")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("cellcounts")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # append-mode emits only closed windows; advance the watermark
+            late = pdf.copy()
+            late["ts"] = pd.Timestamp("2026-01-01 00:10:00")
+            late.to_parquet(src / "p2.parquet")
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM cellcounts").collect()
+        finally:
+            q.stop()
+        assert sum(r.n_rows for r in rows) == 60  # first window closed
+
+
+class TestSkewPlanner:
+    def test_histogram_and_salt(self, spark):
+        pdf = images_fixture(n=400, seed=15)[["image_id", "lon", "lat"]]
+        df = spark.createDataFrame(pdf)
+        hist = cell_histogram(df, x="lon", y="lat")
+        total = hist.agg(F.sum("n_rows")).collect()[0][0]
+        assert total == 400
+        s = skew_stats(df, x="lon", y="lat")
+        assert s["max_rows"] >= s["mean_rows"]
+        # images fixture has a 20% hot cluster -> planner salts
+        k = plan_salt_k(df, x="lon", y="lat", target_ratio=2.0)
+        assert k is None or (2 <= k <= 16)
