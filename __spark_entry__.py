@@ -59,7 +59,10 @@ from pyshp_spark.operators.text import (  # noqa: E402
 )
 
 # plane grid: 128x128 cells over [0,1000)^2; 1000/128 = 7.8125 exact binary
+# (PIP filter selectivity wants fine cells; kNN/tile-overlap want coarser
+# cells so one neighbor ring already holds enough candidates)
 ENTRY_GRID = Grid(x0=0.0, y0=0.0, dx=7.8125, dy=7.8125, width=1 << 20)
+COARSE_GRID = Grid(x0=0.0, y0=0.0, dx=15.625, dy=15.625, width=1 << 20)
 
 # ---------------------------------------------------------------------------
 # derived inputs (Spark side) — formulas mirrored EXACTLY in the SQL oracles
@@ -280,7 +283,7 @@ def q_knn(spark, sf_dir):
     q = _qpts(spark, sf_dir)
     t = _diamonds(spark, sf_dir).select("oid", F.col("cx").alias("x"), F.col("cy").alias("y"))
     out = knn_join(
-        q, t, k=5, grid=ENTRY_GRID, query_id="query_id",
+        q, t, k=5, grid=COARSE_GRID, query_id="query_id",
         target_cols=["oid", "x", "y"], tie_break="oid",
     )
     return out.select("query_id", "oid", "dist2", F.col("knn_rank").alias("rank"))
@@ -292,7 +295,7 @@ def q_tile_assign(spark, sf_dir):
     out = bbox_overlap_join(
         tiles.select("tile_id", "rxmin", "rymin", "rxmax", "rymax"),
         dia.select("oid", "xmin", "ymin", "xmax", "ymax"),
-        grid=ENTRY_GRID,
+        grid=COARSE_GRID,
         out_cols=["tile_id", "oid"],
     )
     return out
