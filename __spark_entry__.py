@@ -69,15 +69,17 @@ COARSE_GRID = Grid(x0=0.0, y0=0.0, dx=15.625, dy=15.625, width=1 << 20)
 # ---------------------------------------------------------------------------
 
 
-def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pts(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """Points from lineitem: one per line item, lattice + fixed offsets.
 
     The testdata parquet is a single row group (unsplittable scan), so
-    spread the probe side across the cluster explicitly — at real scale
-    the many-row-group input makes this repartition unnecessary."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    ``spread`` repartitions the probe side across the cluster for the
+    compute-heavy operators — at real scale the many-row-group input
+    makes this unnecessary.  Cheap scan-shaped queries pass False and
+    keep the single-pass pipeline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if spread:
+        li = li.repartition(spark.sparkContext.defaultParallelism)
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
         (((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)).alias("x"),
@@ -221,7 +223,7 @@ QUERY_BBOX = (100.5, 200.5, 300.25, 400.75)
 
 def q_bbox_filter(spark, sf_dir):
     x0, y0, x1, y1 = QUERY_BBOX
-    return _pts(spark, sf_dir).where(
+    return _pts(spark, sf_dir, spread=False).where(
         (F.col("x") >= x0) & (F.col("x") <= x1)
         & (F.col("y") >= y0) & (F.col("y") <= y1)
     )
@@ -327,7 +329,7 @@ def q_union_merge(spark, sf_dir):
 
 def q_project_slice(spark, sf_dir):
     return (
-        _pts(spark, sf_dir)
+        _pts(spark, sf_dir, spread=False)
         .where(F.col("point_id").between(100000, 200000))
         .select("point_id", "x")
     )
