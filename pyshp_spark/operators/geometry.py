@@ -1,0 +1,139 @@
+"""Geometry projection operators (reference P2: points_2D / points_3D,
+sf.py:1340-1349) re-expressed for DataFrames.
+
+``explode_coordinates`` turns the geometry table into a long-format
+point table (one row per vertex) with z/m attached positionally —
+the columnar analog of iterating ``shape.points``/``shape.z``.  Note:
+polygon WKB stores rings in ORGANIZED order (exterior+holes); for
+multi-exterior shapes whose ring order was rewritten at ingest, z/m
+positional alignment follows the organized order, not raw file order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from pyshp_spark.kernels.wkb import (
+    WKB_LINESTRING,
+    WKB_MULTILINESTRING,
+    WKB_MULTIPOINT,
+    WKB_MULTIPOLYGON,
+    WKB_POINT,
+    WKB_POLYGON,
+    parse_wkb,
+)
+
+
+def _wkb_coords(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(coords (n,2), part_index (n,)) in WKB storage order."""
+    gtype, obj = parse_wkb(buf)
+    if gtype in (WKB_POINT, WKB_MULTIPOINT, WKB_LINESTRING):
+        a = np.asarray(obj, dtype=np.float64).reshape(-1, 2)
+        return a, np.zeros(len(a), dtype=np.int32)
+    if gtype == WKB_MULTILINESTRING:
+        parts = obj
+    elif gtype == WKB_POLYGON:
+        parts = obj
+    elif gtype == WKB_MULTIPOLYGON:
+        parts = [r for rings in obj for r in rings]
+    else:
+        raise ValueError(f"unsupported WKB type {gtype}")
+    if not parts:
+        return np.empty((0, 2)), np.empty(0, dtype=np.int32)
+    coords = np.vstack(parts)
+    pidx = np.repeat(np.arange(len(parts), dtype=np.int32),
+                     [len(p) for p in parts])
+    return coords, pidx
+
+
+def explode_coordinates(
+    df: DataFrame,
+    id_cols: list[str] | None = None,
+    with_zm: bool = True,
+) -> DataFrame:
+    """Geometry table (wkb [, z, m]) -> one row per vertex:
+    (id_cols..., part_idx, point_idx, x, y [, z, m]).
+
+    Missing z defaults to 0.0 (reference sf.py:1129-1132); m stays
+    null where absent/NODATA.  ``with_zm=False`` gives the points_2D
+    view (z/m dropped)."""
+    ids = id_cols or (["oid"] if "oid" in df.columns else [])
+    has_z = with_zm and "z" in df.columns
+    has_m = with_zm and "m" in df.columns
+    in_cols = ids + ["wkb"] + (["z"] if has_z else []) + (["m"] if has_m else [])
+    id_fields = [f for f in df.schema.fields if f.name in ids]
+    out_fields = id_fields + [
+        StructField("part_idx", IntegerType()),
+        StructField("point_idx", IntegerType()),
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+    ]
+    if has_z:
+        out_fields.append(StructField("z", DoubleType()))
+    if has_m:
+        out_fields.append(StructField("m", DoubleType()))
+    schema = StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                w = getattr(row, "wkb")
+                if w is None:
+                    continue
+                coords, pidx = _wkb_coords(bytes(w))
+                n = len(coords)
+                if n == 0:
+                    continue
+                d = {c: [getattr(row, c)] * n for c in ids}
+                d["part_idx"] = pidx
+                d["point_idx"] = np.arange(n, dtype=np.int32)
+                d["x"] = coords[:, 0]
+                d["y"] = coords[:, 1]
+                if has_z:
+                    zv = getattr(row, "z")
+                    d["z"] = (
+                        np.asarray([0.0 if v is None else float(v) for v in zv])
+                        if zv is not None and len(zv) == n
+                        else np.zeros(n)  # missing z -> 0.0 default
+                    )
+                if has_m:
+                    mv = getattr(row, "m")
+                    d["m"] = (
+                        np.asarray(
+                            [np.nan if v is None else float(v) for v in mv]
+                        )
+                        if mv is not None and len(mv) == n
+                        else np.full(n, np.nan)
+                    )
+                frames.append(pd.DataFrame(d))
+            yield (
+                pd.concat(frames, ignore_index=True)[out_names]
+                if frames
+                else pd.DataFrame({c: [] for c in out_names})
+            )
+
+    return df.select(*in_cols).mapInPandas(explode, schema=schema)
+
+
+def project_2d(df: DataFrame) -> DataFrame:
+    """points_2D analog: the geometry table without z/m columns."""
+    return df.drop("z", "m")
+
+
+def shape_at(df: DataFrame, oid: int) -> DataFrame:
+    """Random access by oid (reference Reader.shape(i), sf.py:4090-4107)
+    — a filter the optimizer turns into a pruned scan."""
+    return df.where(F.col("oid") == oid)

@@ -508,6 +508,7 @@ def knn_join(
     target_cols: list[str] | None = None,
     tie_break: str | None = None,
     max_rounds: int = 6,
+    brute_threshold: int = 50_000,
 ) -> DataFrame:
     """Exact kNN via expanding cell-neighborhood search.
 
@@ -518,8 +519,18 @@ def knn_join(
     an already-searched cell).  Unresolved queries escalate; the final
     round falls back to brute force for the (few) stragglers.  Driver
     only orchestrates rounds — all data work is joins + windows.
+
+    Target sets at or below ``brute_threshold`` rows skip the rounds
+    entirely and run the broadcast brute path (identical output): the
+    iterative machinery only pays off when targets are too large to
+    broadcast-score directly.
     """
     tcols = target_cols or [c for c in targets.columns]
+    if brute_threshold and targets.count() <= brute_threshold:
+        return knn_brute(
+            queries, targets, k, qx=qx, qy=qy, tx=tx, ty=ty,
+            query_id=query_id, target_cols=tcols, tie_break=tie_break,
+        )
     tgt = targets.withColumn(_P + "tcell", grid.cell_expr(F.col(tx), F.col(ty)))
     tgt = tgt.select(
         _P + "tcell", *[F.col(c).alias("__t_" + c) for c in tcols]
@@ -557,7 +568,7 @@ def knn_join(
         )
         cand = cand.drop(
             _P + "tcell", _P + "qcol", _P + "qrow", _P + "dc", _P + "dr"
-        )
+        ).persist()
         results.append(cand)
         # resolved = queries whose k-th nearest candidate so far is provably
         # inside the searched radius

@@ -86,6 +86,7 @@ GEOM_FIELDS = [
     "num_points",
     "z",
     "m",
+    "part_types",
 ]
 
 
@@ -151,7 +152,7 @@ def parse_shp_bytes(
             # tolerates corrupt records, test.py:1315-1353)
             break
         if parsed is not None:
-            (pts, parts, bx, z, m, npts) = parsed
+            (pts, parts, bx, z, m, npts, part_types) = parsed
             rows["oid"].append(oid)
             rows["shape_type"].append(stype)
             rows["wkb"].append(_shape_wkb(stype, pts, parts))
@@ -163,6 +164,7 @@ def parse_shp_bytes(
             rows["num_points"].append(npts)
             rows["z"].append(z)
             rows["m"].append(m)
+            rows["part_types"].append(part_types)
         oid += 1
         pos = next_pos
     df = pd.DataFrame(rows)
@@ -186,7 +188,7 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
     off = rec_start + 4
     empty = np.empty((0, 2), dtype=np.float64)
     if stype == NULL:
-        return (empty, np.empty(0, np.int32), (None,) * 4, None, None, 0)
+        return (empty, np.empty(0, np.int32), (None,) * 4, None, None, 0, None)
 
     if stype in _POINT_TYPES:
         x, y = struct.unpack_from("<2d", shp, off)
@@ -207,7 +209,7 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
             else:
                 m = [None]
         pts = np.array([[x, y]], dtype=np.float64)
-        return (pts, np.empty(0, np.int32), (x, y, x, y), z, m, 1)
+        return (pts, np.empty(0, np.int32), (x, y, x, y), z, m, 1, None)
 
     # bbox-bearing types
     bx = struct.unpack_from("<4d", shp, off)
@@ -217,6 +219,7 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
     ):
         return None
     n_parts = 0
+    part_types = None
     parts = np.empty(0, np.int32)
     if stype in _HAS_PARTS:
         (n_parts,) = struct.unpack_from("<i", shp, off)
@@ -228,8 +231,13 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
             np.int32
         )
         off += 4 * n_parts
+        part_types = None
         if stype == MULTIPATCH:
-            off += 4 * n_parts  # partTypes (carried nowhere for now)
+            # TRIANGLE_STRIP(0)..RING(5), reference sf.py:100-114
+            part_types = list(
+                np.frombuffer(shp, dtype="<i4", count=n_parts, offset=off)
+            )
+            off += 4 * n_parts
     pts = empty
     z = m = None
     if n_points:
@@ -258,7 +266,7 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
         parts = np.empty(0, np.int32)
     elif n_parts == 0:
         parts = np.zeros(1, np.int32) if n_points else parts
-    return (pts, parts, bx, z, m, n_points)
+    return (pts, parts, bx, z, m, n_points, part_types)
 
 
 # ---------------------------------------------------------------- dbf ----

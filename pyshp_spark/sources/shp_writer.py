@@ -23,13 +23,44 @@ import numpy as np
 
 from pyshp_spark.sources.shapefile import (
     MULTIPOINT,
+    MULTIPOINTM,
+    MULTIPOINTZ,
     NULL,
     POINT,
+    POINTM,
+    POINTZ,
     POLYGON,
+    POLYGONM,
+    POLYGONZ,
     POLYLINE,
+    POLYLINEM,
+    POLYLINEZ,
 )
 
 _HEADER_LEN = 100
+NODATA = -1e39  # m=None encoding (reference sf.py:796-798)
+_Z_TYPES = {POINTZ, POLYLINEZ, POLYGONZ, MULTIPOINTZ}
+_M_TYPES = {POINTM, POINTZ, POLYLINEM, POLYLINEZ, POLYGONM, POLYGONZ,
+            MULTIPOINTM, MULTIPOINTZ}
+_BASE_OF = {
+    POINTZ: POINT, POINTM: POINT,
+    POLYLINEZ: POLYLINE, POLYLINEM: POLYLINE,
+    POLYGONZ: POLYGON, POLYGONM: POLYGON,
+    MULTIPOINTZ: MULTIPOINT, MULTIPOINTM: MULTIPOINT,
+}
+
+
+def _ms_bytes(m, n: int) -> bytes:
+    vals = [NODATA if v is None else float(v) for v in (m or [None] * n)]
+    data = [v for v in vals if v >= -1e38]
+    mmin = min(data) if data else NODATA
+    mmax = max(data) if data else NODATA
+    return struct.pack("<2d", mmin, mmax) + struct.pack(f"<{n}d", *vals)
+
+
+def _zs_bytes(z, n: int) -> bytes:
+    vals = [0.0 if v is None else float(v) for v in (z or [0.0] * n)]
+    return struct.pack("<2d", min(vals), max(vals)) + struct.pack(f"<{n}d", *vals)
 
 
 def _shp_header(shape_type: int, bbox, total_words: int) -> bytes:
@@ -41,8 +72,31 @@ def _shp_header(shape_type: int, bbox, total_words: int) -> bytes:
     return h
 
 
-def _record_body(shape_type: int, shape) -> bytes:
-    """shape: None (null) | (x, y) point | list-of-parts, each (n,2)."""
+def _record_body(shape_type: int, shape, z=None, m=None) -> bytes:
+    """shape: None (null) | (x, y) point | list-of-parts, each (n,2).
+    z/m: optional per-point sequences for the Z/M shape types (m may
+    contain None -> NODATA, reference sf.py:1985-1986)."""
+    if shape_type in _BASE_OF:
+        base = _BASE_OF[shape_type]
+        body = _record_body(base, shape)
+        # swap declared type, then append Z / M blocks
+        body = struct.pack("<i", shape_type) + body[4:]
+        if base == POINT:
+            out = body
+            if shape_type in _Z_TYPES:
+                out += struct.pack("<d", float((z or [0.0])[0]))
+            if shape_type in _M_TYPES:
+                mv = (m or [None])[0]
+                out += struct.pack("<d", NODATA if mv is None else float(mv))
+            return out
+        n = (len(shape) if base == MULTIPOINT
+             else sum(len(np.asarray(p).reshape(-1, 2)) for p in shape))
+        out = body
+        if shape_type in _Z_TYPES:
+            out += _zs_bytes(z, n)
+        if shape_type in _M_TYPES:
+            out += _ms_bytes(m, n)
+        return out
     if shape_type == NULL or shape is None:
         return struct.pack("<i", NULL)
     if shape_type == POINT:
@@ -79,14 +133,15 @@ def _record_body(shape_type: int, shape) -> bytes:
     return body
 
 
-def write_shp(shapes: list[tuple[int, object]]) -> tuple[bytes, bytes]:
-    """shapes: [(shape_type, payload)] -> (.shp bytes, .shx bytes)."""
-    bodies = [_record_body(t, s) for t, s in shapes]
+def write_shp(shapes: list[tuple]) -> tuple[bytes, bytes]:
+    """shapes: [(shape_type, payload[, z[, m]])] -> (.shp, .shx bytes)."""
+    shapes = [tuple(s) + (None,) * (4 - len(s)) for s in shapes]
+    bodies = [_record_body(t, s, z, m) for t, s, z, m in shapes]
     xmins, ymins, xmaxs, ymaxs = [], [], [], []
-    for (t, s), b in zip(shapes, bodies):
+    for (t, s, _z, _m), b in zip(shapes, bodies):
         if t == NULL or s is None:
             continue
-        if t == POINT:
+        if t in (POINT, POINTZ, POINTM):
             xmins.append(s[0]); xmaxs.append(s[0])
             ymins.append(s[1]); ymaxs.append(s[1])
         else:
@@ -98,7 +153,7 @@ def write_shp(shapes: list[tuple[int, object]]) -> tuple[bytes, bytes]:
         if xmins
         else (0.0, 0.0, 0.0, 0.0)
     )
-    shape_type = next((t for t, _ in shapes if t != NULL), NULL)
+    shape_type = next((t for t, _s, _z, _m in shapes if t != NULL), NULL)
 
     recs = []
     shx_items = []

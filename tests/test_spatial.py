@@ -213,6 +213,7 @@ class TestKnn:
         cell = knn_join(
             q, t, k=5, query_id="query_id",
             target_cols=["target_id", "x", "y"], tie_break="target_id",
+            brute_threshold=0,  # force the cell-expansion path
         )
         b = {(r.query_id, r.target_id, r.knn_rank) for r in brute.collect()}
         c = {(r.query_id, r.target_id, r.knn_rank) for r in cell.collect()}
