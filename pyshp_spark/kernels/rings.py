@@ -323,14 +323,14 @@ def pip_pairs_flat(
     inside = np.zeros(n, dtype=bool)
 
     pair_edge_counts = counts[codes]
-    # process pairs in chunks bounded by flattened edge-row count
+    # chunk boundaries via searchsorted on the edge-count prefix sum
+    # (no per-pair Python loop)
+    cum = np.cumsum(pair_edge_counts)
     start = 0
     while start < n:
-        stop = start
-        total = 0
-        while stop < n and (total == 0 or total + pair_edge_counts[stop] <= chunk_edges):
-            total += pair_edge_counts[stop]
-            stop += 1
+        base = cum[start - 1] if start else 0
+        stop = int(np.searchsorted(cum, base + chunk_edges, side="right"))
+        stop = max(stop, start + 1)  # always advance, even for huge polygons
         sl = slice(start, stop)
         cts = pair_edge_counts[sl]
         m = int(cts.sum())
