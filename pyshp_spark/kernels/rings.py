@@ -67,6 +67,15 @@ def signed_area(ring, fast: bool = False) -> float:
     n = len(a)
     if n < 3:
         return 0.0
+    if n <= 96:
+        # small rings: pure-python shoelace beats numpy call overhead
+        # ~5x AND reproduces the reference's exact summation order
+        xs = a[:, 0].tolist()
+        ys = a[:, 1].tolist()
+        xs.append(xs[1])
+        ys.append(ys[1])
+        area2 = sum(xs[i] * (ys[i + 1] - ys[i - 1]) for i in range(1, n))
+        return area2 if fast else area2 / 2.0
     x = a[:, 0]
     y = a[:, 1]
     # wrap: y2[i] spans indices 1..n with n -> index 1 of the original

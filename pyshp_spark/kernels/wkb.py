@@ -27,6 +27,13 @@ _U32 = struct.Struct("<I")
 
 
 def _coords_bytes(a: np.ndarray) -> bytes:
+    if (
+        a.dtype == np.dtype("<f8")
+        and a.ndim == 2
+        and a.shape[1] == 2
+        and a.flags.c_contiguous
+    ):
+        return a.tobytes()
     return np.ascontiguousarray(a[:, :2], dtype="<f8").tobytes()
 
 

@@ -90,6 +90,10 @@ GEOM_FIELDS = [
 ]
 
 
+# endianness byte + Polygon type + numRings=1 (LE), the hot-path prefix
+_WKB_POLY1_PREFIX = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"
+
+
 def _shape_wkb(shape_type: int, points: np.ndarray, parts: np.ndarray) -> bytes | None:
     """Encode one shape's points/parts into standard WKB.
 
@@ -103,6 +107,16 @@ def _shape_wkb(shape_type: int, points: np.ndarray, parts: np.ndarray) -> bytes 
         return _wkb.wkb_point(float(points[0, 0]), float(points[0, 1]))
     if shape_type in _MULTIPOINT_TYPES:
         return _wkb.wkb_multipoint(points)
+    if len(parts) == 1 and shape_type in _POLYGON_TYPES:
+        # single ring: organize_polygon_rings returns [[ring]] whether it
+        # is CW (one exterior) or CCW (only-holes promotion) — skip the
+        # winding classification AND the generic WKB assembly on this
+        # 85%+ common case (points buffer serializes directly)
+        return (
+            _WKB_POLY1_PREFIX
+            + struct.pack("<I", len(points))
+            + points.tobytes()
+        )
     bounds = list(parts) + [len(points)]
     rings = [points[bounds[i] : bounds[i + 1]] for i in range(len(parts))]
     rings = [r for r in rings if len(r)]
@@ -110,6 +124,8 @@ def _shape_wkb(shape_type: int, points: np.ndarray, parts: np.ndarray) -> bytes 
         if len(rings) == 1:
             return _wkb.wkb_linestring(rings[0])
         return _wkb.wkb_multilinestring(rings)
+    if len(rings) == 1:
+        return _wkb.wkb_polygon(rings)
     polys = organize_polygon_rings(rings)
     if len(polys) == 1:
         return _wkb.wkb_polygon(polys[0])
@@ -227,9 +243,7 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
     (n_points,) = struct.unpack_from("<i", shp, off)
     off += 4
     if n_parts:
-        parts = np.frombuffer(shp, dtype="<i4", count=n_parts, offset=off).astype(
-            np.int32
-        )
+        parts = np.frombuffer(shp, dtype="<i4", count=n_parts, offset=off)
         off += 4 * n_parts
         part_types = None
         if stype == MULTIPATCH:
@@ -241,10 +255,10 @@ def _parse_record(shp, rec_start, next_pos, stype, bbox):
     pts = empty
     z = m = None
     if n_points:
-        pts = (
-            np.frombuffer(shp, dtype="<f8", count=2 * n_points, offset=off)
-            .reshape(n_points, 2)
-            .copy()
+        # zero-copy view into the file buffer (serialized to WKB below,
+        # never escapes the parse)
+        pts = np.frombuffer(shp, dtype="<f8", count=2 * n_points, offset=off).reshape(
+            n_points, 2
         )
         off += 16 * n_points
         if stype in _HAS_Z:
