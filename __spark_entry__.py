@@ -340,11 +340,17 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(docs, key="doc_id", text="text")
 
 
+TOKEN_JACCARD_MAX_DF = 64  # hot-token cap: bounds per-token join fan-out
+
+
 def q_token_jaccard(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         (F.col("doc_id") % 5) == 0
     )
-    return token_jaccard_pairs(docs, key="doc_id", text="text", threshold=0.6)
+    return token_jaccard_pairs(
+        docs, key="doc_id", text="text", threshold=0.6,
+        max_df=TOKEN_JACCARD_MAX_DF,
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -565,15 +571,22 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY 1
         """,
-        "token_jaccard": """
+        "token_jaccard": f"""
             WITH docs AS (
                 SELECT doc_id, text FROM documents WHERE (doc_id % 5) = 0
             ),
-            toks AS (
+            toks0 AS (
                 SELECT DISTINCT doc_id AS id, tok
                 FROM docs,
                      unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                         x -> x <> '')) AS t(tok)
+            ),
+            rare AS (
+                SELECT tok FROM toks0 GROUP BY tok
+                HAVING count(*) <= {TOKEN_JACCARD_MAX_DF}
+            ),
+            toks AS (
+                SELECT id, tok FROM toks0 JOIN rare USING (tok)
             ),
             sizes AS (SELECT id, count(*) AS nset FROM toks GROUP BY id),
             inter AS (
@@ -603,8 +616,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             SELECT lang, count(*) AS n_docs,
-                   sum({quality['n_tokens']}) AS total_tokens,
-                   sum({quality['n_chars_q']}) AS total_chars
+                   CAST(sum({quality['n_tokens']}) AS BIGINT) AS total_tokens,
+                   CAST(sum({quality['n_chars_q']}) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "ann_cosine": """

@@ -57,19 +57,36 @@ def token_jaccard_pairs(
     key: str = "doc_id",
     text: str = "text",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-token-set Jaccard >= threshold.
 
     Plan: distinct (doc, token) -> self equi-join on token (the
     blocking join; a token acts as an inverted-index posting) ->
-    groupBy pair -> |intersection| vs |A|+|B|-|inter|.  Token join is
-    the only shuffle; hot tokens can be capped upstream (stopword
-    removal) when corpora are large.
+    groupBy pair -> |intersection| vs |A|+|B|-|inter|.
+
+    ``max_df`` is the scale guard: without it a token appearing in D
+    documents emits D^2 candidate rows, so one hot stopword makes the
+    plan quadratic in corpus size.  With ``max_df=K`` tokens whose
+    document frequency exceeds K are dropped from the token sets
+    (classic stopword pruning; Jaccard is then defined over the capped
+    sets, exactly mirrorable in SQL), bounding per-token fan-out at K^2
+    and making total work ~linear in corpus size for fixed K.  The hot
+    tokens are by definition few, so they are removed with a broadcast
+    anti join — no extra shuffle on the postings.
     """
     toks = (
         df.select(F.col(key).alias("id"), F.explode(tokens_expr(F.col(text))).alias("tok"))
         .distinct()
     )
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot), on="tok", how="left_anti")
     sizes = toks.groupBy("id").agg(F.count("*").alias("nset"))
     a = toks.select(F.col("id").alias("id_a"), "tok")
     b = toks.select(F.col("id").alias("id_b"), "tok")
@@ -246,21 +263,31 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Candidate pairs within Hamming distance <= max_hamming via
-    pigeonhole banding on four 16-bit chunks (any pair with <= 3
-    differing bits must agree on at least one chunk), verified with an
-    exact popcount."""
+    pigeonhole banding, verified with an exact popcount.
+
+    The 64-bit signature is split into ``max_hamming + 1`` contiguous
+    chunks (widths as equal as possible): a pair with at most
+    max_hamming differing bits cannot differ in every chunk, so it must
+    collide on at least one — the recall guarantee holds for ANY
+    max_hamming in [0, 63], not just the classic 4x16 split."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    chunk_exprs = []
+    shift = 0
+    for w in widths:
+        e = F.shiftrightunsigned(F.col("sh"), shift)
+        if w < 64:
+            e = e.bitwiseAND(F.lit((1 << w) - 1))
+        chunk_exprs.append(e)
+        shift += w
     with_sig = df.select(F.col(key).alias("id"), simhash_udf()(F.col(text)).alias("sh"))
     chunks = with_sig.select(
         "id",
         "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
     )
     left = chunks.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk_val"

@@ -88,42 +88,62 @@ def explode_coordinates(
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                w = getattr(row, "wkb")
+            # per-row WKB parse is irreducible, but everything else is
+            # offset-array assembly: one concatenate + one np.repeat per
+            # batch instead of a pandas frame per geometry row
+            wkbs = pdf["wkb"].to_numpy(dtype=object)
+            coords_l, pidx_l, counts = [], [], np.zeros(len(pdf), np.int64)
+            z_l = [] if has_z else None
+            m_l = [] if has_m else None
+            zs = pdf["z"].to_numpy(dtype=object) if has_z else None
+            ms = pdf["m"].to_numpy(dtype=object) if has_m else None
+            for i, w in enumerate(wkbs):
                 if w is None:
                     continue
                 coords, pidx = _wkb_coords(bytes(w))
                 n = len(coords)
                 if n == 0:
                     continue
-                d = {c: [getattr(row, c)] * n for c in ids}
-                d["part_idx"] = pidx
-                d["point_idx"] = np.arange(n, dtype=np.int32)
-                d["x"] = coords[:, 0]
-                d["y"] = coords[:, 1]
+                counts[i] = n
+                coords_l.append(coords)
+                pidx_l.append(pidx)
                 if has_z:
-                    zv = getattr(row, "z")
-                    d["z"] = (
-                        np.asarray([0.0 if v is None else float(v) for v in zv])
+                    zv = zs[i]
+                    z_l.append(
+                        np.array(
+                            [0.0 if v is None else float(v) for v in zv],
+                            dtype=np.float64,
+                        )
                         if zv is not None and len(zv) == n
                         else np.zeros(n)  # missing z -> 0.0 default
                     )
                 if has_m:
-                    mv = getattr(row, "m")
-                    d["m"] = (
-                        np.asarray(
-                            [np.nan if v is None else float(v) for v in mv]
+                    mv = ms[i]
+                    m_l.append(
+                        np.array(
+                            [np.nan if v is None else float(v) for v in mv],
+                            dtype=np.float64,
                         )
                         if mv is not None and len(mv) == n
                         else np.full(n, np.nan)
                     )
-                frames.append(pd.DataFrame(d))
-            yield (
-                pd.concat(frames, ignore_index=True)[out_names]
-                if frames
-                else pd.DataFrame({c: [] for c in out_names})
+            if not coords_l:
+                yield pd.DataFrame({c: [] for c in out_names})
+                continue
+            coords = np.concatenate(coords_l)
+            d = {c: pdf[c].to_numpy()[np.repeat(np.arange(len(pdf)), counts)]
+                 for c in ids}
+            d["part_idx"] = np.concatenate(pidx_l)
+            d["point_idx"] = np.concatenate(
+                [np.arange(n, dtype=np.int32) for n in counts[counts > 0]]
             )
+            d["x"] = coords[:, 0]
+            d["y"] = coords[:, 1]
+            if has_z:
+                d["z"] = np.concatenate(z_l)
+            if has_m:
+                d["m"] = np.concatenate(m_l)
+            yield pd.DataFrame(d)[out_names]
 
     return df.select(*in_cols).mapInPandas(explode, schema=schema)
 

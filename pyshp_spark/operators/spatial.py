@@ -77,7 +77,6 @@ def _refine_pip(df: DataFrame, x: str, y: str, keep_wkb: bool = False) -> DataFr
     one vectorized call.
     """
     out_fields = [f for f in df.schema.fields if keep_wkb or f.name != "wkb"]
-    out_schema = "structtype"
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
     out_schema = StructType(out_fields)
@@ -86,6 +85,9 @@ def _refine_pip(df: DataFrame, x: str, y: str, keep_wkb: bool = False) -> DataFr
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         edge_cache: dict[bytes, np.ndarray] = {}
         for pdf in batches:
+            # a null wkb would factorize to code -1 and negatively index
+            # the edge arrays (silently testing the wrong polygon)
+            pdf = pdf[pdf["wkb"].notna()]
             if len(pdf) == 0:
                 yield pdf[out_cols]
                 continue
@@ -109,16 +111,30 @@ def _refine_pip(df: DataFrame, x: str, y: str, keep_wkb: bool = False) -> DataFr
     return df.mapInPandas(refine, schema=out_schema)
 
 
+def _resolve_broadcast(
+    polygons: DataFrame, broadcast_polygons, max_broadcast_rows: int
+) -> bool:
+    """"auto" probes the build side with a LIMIT-bounded count (scans at
+    most max_broadcast_rows+1 rows, so cheap even on a huge table) and
+    falls back to the shuffle path when it is too big to broadcast."""
+    if broadcast_polygons == "auto":
+        return (
+            polygons.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+        )
+    return bool(broadcast_polygons)
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
     x: str = "x",
     y: str = "y",
     grid: Grid = GRID,
-    broadcast_polygons: bool = True,
+    broadcast_polygons: bool | str = "auto",
     salt_k: int | None = None,
     point_cols: list[str] | None = None,
     polygon_cols: list[str] | None = None,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Inner join: each point row paired with every polygon containing it.
 
@@ -126,18 +142,23 @@ def point_in_polygon_join(
     Containment semantics = even-odd ray-cast over all rings, matching
     the reference's organized exterior-minus-holes membership.
 
-    Scale notes: ``broadcast_polygons=True`` is the dimension-sized
-    path — polygon geometries are parsed ONCE on the driver and shipped
-    to executors as a broadcast variable of edge arrays, so the cell
+    Scale notes: the broadcast path is for dimension-sized polygon
+    sets — geometries are parsed ONCE on the driver and shipped to
+    executors as a broadcast variable of edge arrays, so the cell
     equi-join carries only a dense int polygon id (no WKB bytes ever
     cross Arrow on the fact side) and the probe side never shuffles.
-    For big polygon sets pass False (sort-merge on cell + AQE, WKB
-    travels in-row) and optionally ``salt_k`` to pre-split hot cells.
+    ``broadcast_polygons="auto"`` (default) probes the build-side size
+    and picks broadcast vs sort-merge automatically; pass True/False to
+    force, and optionally ``salt_k`` to pre-split hot cells on the
+    shuffle path.
     """
     pcols = point_cols or [c for c in points.columns]
     gcols = polygon_cols or [
         c for c in polygons.columns if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
     ]
+    broadcast_polygons = _resolve_broadcast(
+        polygons, broadcast_polygons, max_broadcast_rows
+    )
     if broadcast_polygons and not salt_k:
         return _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols)
     build = _polygons_with_cells(
@@ -197,7 +218,14 @@ class BroadcastPolygonIndex:
         bbox_arr = pol_pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(
             dtype=np.float64
         )
-        covers = [grid.bbox_cover_np(*bbox_arr[pid]) for pid in range(len(pol_pdf))]
+        # null/NaN bboxes (NULL shapes from ingest) get an empty cover —
+        # they can contain no point, and bbox_cover_np would raise on NaN
+        covers = [
+            np.empty(0, dtype=np.int64)
+            if np.isnan(bbox_arr[pid]).any()
+            else grid.bbox_cover_np(*bbox_arr[pid])
+            for pid in range(len(pol_pdf))
+        ]
         cover_pid = np.repeat(
             np.arange(len(pol_pdf), dtype=np.int64),
             [len(c) for c in covers],
@@ -230,17 +258,30 @@ class BroadcastPolygonIndex:
         return self._gtable
 
     def join_points(self, points: DataFrame, x: str = "x", y: str = "y",
-                    point_cols: list[str] | None = None) -> DataFrame:
+                    point_cols: list[str] | None = None,
+                    mode: str = "inner") -> DataFrame:
+        """mode="inner": one output row per (point, containing polygon)
+        pair, polygon attrs attached.  mode="semi"/"anti": the point
+        rows inside at least one / outside every polygon — answered in
+        the SAME single refine pass (the per-point match count is
+        already computed), so neither costs a second scan or any
+        shuffle."""
         from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType  # noqa: PLC0415
 
+        if mode not in ("inner", "semi", "anti"):
+            raise ValueError(f"unknown join mode {mode!r}")
         pcols = point_cols or list(points.columns)
         grid = self.grid
         bc = self.bc
         probe = _points_with_cell(points.select(*pcols), x, y, grid, None)
         point_fields = [f for f in probe.schema.fields if f.name != _P + "cell"]
-        out_schema = StructType(
-            point_fields + [StructField(_P + "matches", ArrayType(IntegerType()))]
-        )
+        if mode == "inner":
+            out_schema = StructType(
+                point_fields
+                + [StructField(_P + "matches", ArrayType(IntegerType()))]
+            )
+        else:
+            out_schema = StructType(point_fields)
         point_names = [f.name for f in point_fields]
         empty_i64 = np.empty(0, dtype=np.int64)
 
@@ -290,7 +331,8 @@ class BroadcastPolygonIndex:
                 n = len(pdf)
                 if n == 0:
                     out = pdf[point_names].copy()
-                    out[_P + "matches"] = []
+                    if mode == "inner":
+                        out[_P + "matches"] = []
                     yield out
                     continue
                 cells = pdf[_P + "cell"].to_numpy(dtype=np.int64)
@@ -308,6 +350,12 @@ class BroadcastPolygonIndex:
                 point_idx = np.concatenate(idx_parts)
                 pair_pids = np.concatenate(pid_parts)
                 per_point = np.bincount(point_idx, minlength=n)
+                if mode == "semi":
+                    yield pdf.loc[per_point > 0, point_names]
+                    continue
+                if mode == "anti":
+                    yield pdf.loc[per_point == 0, point_names]
+                    continue
                 splits = np.split(
                     pair_pids.astype(np.int32), np.cumsum(per_point)[:-1]
                 )
@@ -316,6 +364,8 @@ class BroadcastPolygonIndex:
                 yield out[per_point > 0]
 
         matched = probe.mapInPandas(refine, schema=out_schema)
+        if mode in ("semi", "anti"):
+            return matched
         exploded = matched.select(
             *point_names, F.explode(_P + "matches").alias(_P + "pid")
         )
@@ -333,20 +383,51 @@ def _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols):
     ).join_points(points, x=x, y=y, point_cols=pcols)
 
 
-def spatial_semi_join(points, polygons, x="x", y="y", grid=GRID, **kw) -> DataFrame:
-    """Rows of ``points`` that fall inside at least one polygon."""
+def spatial_semi_join(
+    points, polygons, x="x", y="y", grid=GRID,
+    broadcast_polygons: bool | str = "auto", salt_k: int | None = None,
+    max_broadcast_rows: int = 4_000_000, **kw,
+) -> DataFrame:
+    """Rows of ``points`` that fall inside at least one polygon.
+
+    On the broadcast path the answer comes from the SAME single refine
+    pass as the inner join (per-point match counts are a by-product) —
+    no pair explosion, no dedup shuffle.  The sort-merge fallback joins
+    pairs then dedups on the point columns."""
     pcols = points.columns
+    if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows) \
+            and not salt_k:
+        return BroadcastPolygonIndex(
+            polygons, grid=grid, polygon_cols=[]
+        ).join_points(points, x=x, y=y, mode="semi")
     matched = point_in_polygon_join(
-        points, polygons, x=x, y=y, grid=grid, polygon_cols=[], **kw
+        points, polygons, x=x, y=y, grid=grid, polygon_cols=[],
+        broadcast_polygons=False, salt_k=salt_k, **kw
     )
     return matched.select(*pcols).dropDuplicates(pcols)
 
 
-def spatial_anti_join(points, polygons, x="x", y="y", grid=GRID, **kw) -> DataFrame:
-    """Rows of ``points`` outside every polygon (left_anti on refined
-    matches, joined back on the point's own columns)."""
+def spatial_anti_join(
+    points, polygons, x="x", y="y", grid=GRID,
+    broadcast_polygons: bool | str = "auto", salt_k: int | None = None,
+    max_broadcast_rows: int = 4_000_000, **kw,
+) -> DataFrame:
+    """Rows of ``points`` outside every polygon.
+
+    Broadcast path: emitted directly from the single refine pass
+    (``per_point == 0`` rows) — one scan, zero shuffles, no second PIP
+    pipeline.  Sort-merge fallback: semi join then left_anti on the
+    point's own columns."""
     pcols = points.columns
-    matched = spatial_semi_join(points, polygons, x=x, y=y, grid=grid, **kw)
+    if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows) \
+            and not salt_k:
+        return BroadcastPolygonIndex(
+            polygons, grid=grid, polygon_cols=[]
+        ).join_points(points, x=x, y=y, mode="anti")
+    matched = spatial_semi_join(
+        points, polygons, x=x, y=y, grid=grid,
+        broadcast_polygons=False, salt_k=salt_k, **kw
+    )
     return points.join(matched, on=pcols, how="left_anti")
 
 
@@ -414,9 +495,18 @@ def tile_assignment(
             & (F.col("__tymin") <= F.col("ymax"))
             & (F.col("ymin") <= F.col("__tymax"))
         )
+        # responsibility cell: the pair is emitted only from the cell
+        # holding the overlap rectangle's min corner (in BOTH covers by
+        # construction) — dedup is a codegen'd filter, zero shuffle
+        cand = cand.where(
+            F.col(_P + "cell")
+            == grid.cell_expr(
+                F.greatest(F.col("__txmin"), F.col("xmin")),
+                F.greatest(F.col("__tymin"), F.col("ymin")),
+            )
+        )
         out_cols = tiles.columns + gcols
-        # a tile bbox spans several cells -> same pair can match twice
-        return cand.select(*out_cols).dropDuplicates(out_cols)
+        return cand.select(*out_cols)
     raise ValueError(f"unknown tile_assignment mode {mode!r}")
 
 
@@ -452,8 +542,20 @@ def bbox_overlap_join(
         & (F.col(rymin) <= F.col("ymax"))
         & (F.col("ymin") <= F.col(rymax))
     )
+    # responsibility-cell dedup: of all cells the two covers share, the
+    # pair is emitted only from the one containing the overlap
+    # rectangle's min corner — same floor() arithmetic as the covers,
+    # so exactly one join row survives; replaces a full-output
+    # dropDuplicates shuffle with a codegen'd filter
+    cand = cand.where(
+        F.col(_P + "cell")
+        == grid.cell_expr(
+            F.greatest(F.col(rxmin), F.col("xmin")),
+            F.greatest(F.col(rymin), F.col("ymin")),
+        )
+    )
     cols = out_cols or [c for c in rects.columns + boxes.columns if c != _P + "cell"]
-    return cand.select(*cols).dropDuplicates(cols)
+    return cand.select(*cols)
 
 
 # ------------------------------------------------------------------ kNN ----
@@ -508,7 +610,7 @@ def knn_join(
     target_cols: list[str] | None = None,
     tie_break: str | None = None,
     max_rounds: int = 6,
-    brute_threshold: int = 50_000,
+    brute_threshold: int | None = None,
 ) -> DataFrame:
     """Exact kNN via expanding cell-neighborhood search.
 
@@ -520,13 +622,18 @@ def knn_join(
     round falls back to brute force for the (few) stragglers.  Driver
     only orchestrates rounds — all data work is joins + windows.
 
-    Target sets at or below ``brute_threshold`` rows skip the rounds
-    entirely and run the broadcast brute path (identical output): the
-    iterative machinery only pays off when targets are too large to
-    broadcast-score directly.
+    ``brute_threshold`` is opt-in: when set, a target set at or below
+    that many rows skips the rounds and runs the broadcast brute path
+    (identical output).  The default (None) never runs the extra
+    count() job — callers who know the target side is dimension-sized
+    should call :func:`knn_brute` directly.
+
+    Note: candidate accumulation dedups on (query_id, all target
+    columns); target rows must be distinct on ``target_cols`` (pass an
+    id column) or duplicate targets will collapse.
     """
     tcols = target_cols or [c for c in targets.columns]
-    if brute_threshold and targets.count() <= brute_threshold:
+    if brute_threshold is not None and targets.count() <= brute_threshold:
         return knn_brute(
             queries, targets, k, qx=qx, qy=qy, tx=tx, ty=ty,
             query_id=query_id, target_cols=tcols, tie_break=tie_break,
@@ -535,6 +642,7 @@ def knn_join(
     tgt = tgt.select(
         _P + "tcell", *[F.col(c).alias("__t_" + c) for c in tcols]
     ).cache()
+    cached = [tgt]
     remaining = queries
     results = []
     for r in range(max_rounds):
@@ -569,6 +677,7 @@ def knn_join(
         cand = cand.drop(
             _P + "tcell", _P + "qcol", _P + "qrow", _P + "dc", _P + "dr"
         ).persist()
+        cached.append(cand)
         results.append(cand)
         # resolved = queries whose k-th nearest candidate so far is provably
         # inside the searched radius
@@ -595,7 +704,11 @@ def knn_join(
                 + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
             )
         )
-    acc = _union_all(results).dropDuplicates([query_id, "__t_" + tcols[0]] if tcols else [query_id])
+    # dedup accumulated candidates on the FULL target tuple — deduping
+    # on the first target column alone would collapse distinct targets
+    # sharing that value and silently drop true nearest neighbors
+    dedup_keys = [query_id] + ["__t_" + c for c in tcols]
+    acc = _union_all(results).dropDuplicates(dedup_keys)
     order = [F.col("dist2")] + ([F.col("__t_" + tie_break)] if tie_break else [])
     w = Window.partitionBy(query_id).orderBy(*order)
     out = acc.withColumn("knn_rank", F.row_number().over(w)).where(
@@ -604,7 +717,14 @@ def knn_join(
     qcols = queries.columns
     renames = [F.col("__t_" + c).alias(c if c not in qcols else "t_" + c)
                for c in tcols]
-    return out.select(*qcols, *renames, "dist2", "knn_rank")
+    out = out.select(*qcols, *renames, "dist2", "knn_rank")
+    # the per-round caches fed eager orchestration (isEmpty/left_anti);
+    # materialize the (small, <= queries*k-ish) result so they can be
+    # released instead of leaking executor memory across calls
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:

@@ -316,8 +316,10 @@ def parse_dbf_bytes(
 
     body = dbf[header_len:]
     n = min(num_records, len(body) // record_len) if record_len else 0
-    mat = np.frombuffer(body[: n * record_len], dtype="S1").reshape(n, record_len)
-    raw_rows = mat.view(f"S{record_len}").ravel() if record_len else np.array([], "S1")
+    # slice records straight from the raw bytes: a numpy S-dtype view
+    # strips trailing NUL bytes, which corrupts a trailing 0x00-padded
+    # field (e.g. an L flag stored as 0x00 must parse as None, not True)
+    raw_rows = [body[i * record_len : (i + 1) * record_len] for i in range(n)]
 
     deleted = np.array([r[:1] != b" " for r in raw_rows], dtype=bool)
     keep = ~deleted
@@ -372,15 +374,39 @@ def _parse_dbf_value(b: bytes, ftype: str, decimal: int, enc: str, errs: str):
         except (TypeError, ValueError):
             return s
     if ftype == "L":
-        if b == b" ":
+        # single-byte flag; the membership tests below are only sound
+        # for len(b) == 1 (b"" is a subsequence of anything)
+        if len(b) != 1 or b == b" ":
             return None
         if b in b"YyTt1":
             return True
         if b in b"NnFf0":
             return False
         return None
-    # C / M / everything else: text
-    return b.rstrip(b"\x00 ").decode(enc, errs)
+    # C / M / everything else: text (with pad-byte decode recovery)
+    return _decode_text_field(b, enc, errs)
+
+
+def _decode_text_field(b: bytes, enc: str, errs: str) -> str:
+    """Decode a C/M field, restoring trailing pad bytes when needed.
+
+    Multi-byte encodings (UTF-16 etc.) can legitimately *end* in bytes
+    that look like dbf padding (0x00 / 0x20); blindly rstripping them
+    makes the remainder undecodable.  Mirror the reference's recovery
+    (sf.py:456-517): strip all trailing pad bytes, then put them back
+    one at a time until the buffer decodes."""
+    stripped = b.rstrip(b"\x00 ")
+    n_pad = len(b) - len(stripped)
+    for num_to_trim in range(n_pad, -1, -1):
+        trimmed = b[: len(b) - num_to_trim]
+        try:
+            return trimmed.decode(enc, errs)
+        except UnicodeDecodeError:
+            continue
+    raise ValueError(
+        f"could not decode dbf text field {b!r} with encoding={enc!r} "
+        f"errors={errs!r} for any number of restored trailing pad bytes"
+    )
 
 
 # ------------------------------------------------------------- joined ----

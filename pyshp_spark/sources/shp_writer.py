@@ -22,6 +22,7 @@ import struct
 import numpy as np
 
 from pyshp_spark.sources.shapefile import (
+    MULTIPATCH,
     MULTIPOINT,
     MULTIPOINTM,
     MULTIPOINTZ,
@@ -72,10 +73,36 @@ def _shp_header(shape_type: int, bbox, total_words: int) -> bytes:
     return h
 
 
-def _record_body(shape_type: int, shape, z=None, m=None) -> bytes:
+def _record_body(shape_type: int, shape, z=None, m=None, part_types=None) -> bytes:
     """shape: None (null) | (x, y) point | list-of-parts, each (n,2).
     z/m: optional per-point sequences for the Z/M shape types (m may
-    contain None -> NODATA, reference sf.py:1985-1986)."""
+    contain None -> NODATA, reference sf.py:1985-1986).  part_types:
+    per-part surface-patch types for MULTIPATCH (reference
+    sf.py:5093-5198; TRIANGLE_STRIP(0)..RING(5))."""
+    if shape_type == MULTIPATCH:
+        # type + bbox + nParts + nPoints + parts + partTypes + points
+        # + zbox/z + mbox/m (always both blocks; reader tolerates the
+        # m block being absent, the reference writer emits it)
+        parts = [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in shape]
+        allpts = np.vstack(parts)
+        if part_types is None or len(part_types) != len(parts):
+            raise ValueError("MULTIPATCH needs one part_type per part")
+        body = struct.pack(
+            "<i4d",
+            MULTIPATCH,
+            allpts[:, 0].min(),
+            allpts[:, 1].min(),
+            allpts[:, 0].max(),
+            allpts[:, 1].max(),
+        )
+        body += struct.pack("<2i", len(parts), len(allpts))
+        offs = np.cumsum([0] + [len(p) for p in parts[:-1]]).astype("<i4")
+        body += offs.tobytes()
+        body += np.asarray(part_types, dtype="<i4").tobytes()
+        body += np.ascontiguousarray(allpts, dtype="<f8").tobytes()
+        body += _zs_bytes(z, len(allpts))
+        body += _ms_bytes(m, len(allpts))
+        return body
     if shape_type in _BASE_OF:
         base = _BASE_OF[shape_type]
         body = _record_body(base, shape)
@@ -134,11 +161,12 @@ def _record_body(shape_type: int, shape, z=None, m=None) -> bytes:
 
 
 def write_shp(shapes: list[tuple]) -> tuple[bytes, bytes]:
-    """shapes: [(shape_type, payload[, z[, m]])] -> (.shp, .shx bytes)."""
-    shapes = [tuple(s) + (None,) * (4 - len(s)) for s in shapes]
-    bodies = [_record_body(t, s, z, m) for t, s, z, m in shapes]
+    """shapes: [(shape_type, payload[, z[, m[, part_types]]])]
+    -> (.shp, .shx bytes)."""
+    shapes = [tuple(s) + (None,) * (5 - len(s)) for s in shapes]
+    bodies = [_record_body(t, s, z, m, pt) for t, s, z, m, pt in shapes]
     xmins, ymins, xmaxs, ymaxs = [], [], [], []
-    for (t, s, _z, _m), b in zip(shapes, bodies):
+    for (t, s, _z, _m, _pt), b in zip(shapes, bodies):
         if t == NULL or s is None:
             continue
         if t in (POINT, POINTZ, POINTM):
@@ -153,7 +181,7 @@ def write_shp(shapes: list[tuple]) -> tuple[bytes, bytes]:
         if xmins
         else (0.0, 0.0, 0.0, 0.0)
     )
-    shape_type = next((t for t, _s, _z, _m in shapes if t != NULL), NULL)
+    shape_type = next((t for t, _s, _z, _m, _pt in shapes if t != NULL), NULL)
 
     recs = []
     shx_items = []
@@ -222,5 +250,22 @@ def _encode_dbf_value(v, ftype: str, size: int, decimal: int) -> bytes:
         if v is None:
             return b" "
         return b"T" if v else b"F"
-    b = ("" if v is None else str(v)).encode("utf-8")[:size]
+    s = "" if v is None else str(v)
+    b = s.encode("utf-8")
+    if len(b) > size:
+        if len(b) == len(s):
+            # one byte per code point (ASCII): a plain cut is safe
+            b = b[:size]
+        else:
+            # never split a multi-byte code point: cut at the last UTF-8
+            # start byte below `size` (reference parity, sf.py:254-283 —
+            # including its conservative drop when b[size] is a start byte)
+            for i in reversed(range(size)):
+                if (b[i] & 0xC0) != 0x80:
+                    b = b[:i]
+                    break
+            else:
+                raise ValueError(
+                    f"cannot truncate UTF-8 value {b!r} to {size} bytes"
+                )
     return b.ljust(size, b" ")
