@@ -39,7 +39,6 @@ from pyshp_spark.operators.dedup import (  # noqa: E402
     token_jaccard_pairs,
 )
 from pyshp_spark.operators.similarity import (  # noqa: E402
-    cosine_expr,
     cosine_topk_brute,
     lsh_topk,
 )
@@ -385,19 +384,30 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyshp_spark.operators.similarity import dot_expr, norm_expr  # noqa: PLC0415
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "__n", norm_expr(F.col("embedding"))
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label"),
-        F.col("embedding").alias("__va"),
+        F.col("embedding").alias("__va"), F.col("__n").alias("__na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
-        F.col("embedding").alias("__vb"),
+        F.col("embedding").alias("__vb"), F.col("__n").alias("__nb"),
     )
     return (
         a.join(b, on="label")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .where(F.col("cosine") >= 0.15)
         .select("id_a", "id_b", "cosine")
     )

@@ -79,7 +79,14 @@ def token_jaccard_pairs(
         df.select(F.col(key).alias("id"), F.explode(tokens_expr(F.col(text))).alias("tok"))
         .distinct()
     )
+    # the postings table feeds the hot-token scan, both join sides and
+    # the set sizes — without materialization the tokenize+distinct
+    # subtree recomputes up to 8x (once per plan leaf); caches are
+    # released after the (pair-sized, much smaller) result materializes
+    cached = []
     if max_df is not None:
+        toks = toks.persist()
+        cached.append(toks)
         hot = (
             toks.groupBy("tok")
             .agg(F.count("*").alias("__df"))
@@ -87,6 +94,8 @@ def token_jaccard_pairs(
             .select("tok")
         )
         toks = toks.join(F.broadcast(hot), on="tok", how="left_anti")
+    toks = toks.persist()
+    cached.append(toks)
     sizes = toks.groupBy("id").agg(F.count("*").alias("nset"))
     a = toks.select(F.col("id").alias("id_a"), "tok")
     b = toks.select(F.col("id").alias("id_b"), "tok")
@@ -109,7 +118,11 @@ def token_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out.select("id_a", "id_b", "n_inter", "jaccard")
+    out = out.select("id_a", "id_b", "n_inter", "jaccard")
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
 
 
 # ------------------------------------------------------------ MinHash ----

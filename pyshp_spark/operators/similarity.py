@@ -54,14 +54,29 @@ def cosine_topk_brute(
     """Exact cosine top-k: broadcast queries x corpus, JVM dot products,
     per-query window top-k (Spark optimizes row_number<=k to a
     per-partition top-k).  Output: (query_id, vec_id, cosine, rank)."""
+    # norms are computed ONCE per row (not per pair): cosine is then a
+    # single dot per pair — float-identical to cosine_expr because the
+    # per-pair expression dot/(sqrt(da)*sqrt(db)) is unchanged, the
+    # factors are just evaluated earlier
     q = F.broadcast(
         queries.select(
-            F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("__qv"),
+            norm_expr(F.col(query_vec)).alias("__qn"),
         )
     )
-    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        norm_expr(F.col(corpus_vec)).alias("__cn"),
+    )
     scored = q.crossJoin(c).withColumn(
-        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+        "cosine",
+        F.round(
+            dot_expr(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -115,11 +130,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
+        norm_expr(F.col(corpus_vec)).alias("__cn"),
         bucket(F.col(corpus_vec)).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
+        norm_expr(F.col(query_vec)).alias("__qn"),
         bucket(F.col(query_vec)).alias("__b0"),
     )
     probes = [F.col("__b0")]
@@ -136,7 +153,12 @@ def lsh_topk(
     q = q.withColumn("__bucket", F.explode(F.array(*probes)))
     cand = F.broadcast(q).join(c, on="__bucket").dropDuplicates(["query_id", "vec_id"])
     scored = cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+        "cosine",
+        F.round(
+            dot_expr(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -164,18 +186,29 @@ def embedding_dedup_pairs(
     """
     bucket = lsh_bucket_udf(dim, n_planes, seed)
     b = df.select(
-        F.col(vec_id).alias("id"), F.col(vec).alias("__v"), bucket(F.col(vec)).alias("__bucket")
+        F.col(vec_id).alias("id"), F.col(vec).alias("__v"),
+        norm_expr(F.col(vec)).alias("__n"),
+        bucket(F.col(vec)).alias("__bucket"),
     )
     left = b.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bucket"
     )
     right = b.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bucket"
     )
     return (
         left.join(right, on="__bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
