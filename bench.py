@@ -43,11 +43,10 @@ def _count(df) -> int:
     return df.count()
 
 
-def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
-    """Returns ({query: seconds}, {query: output_rows})."""
+def workload_map():
     import __spark_entry__ as em
 
-    workloads = {
+    return {
         "q1_pip_join": em.q_pip_join,
         "q2_tile_assign": em.q_tile_assign,
         "q3_knn": em.q_knn,
@@ -58,8 +57,12 @@ def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "q8_text_quality": em.q_text_quality,
         "q9_cell_count": em.q_cell_count,
     }
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Returns ({query: seconds}, {query: output_rows})."""
     times, rows = {}, {}
-    for name, fn in workloads.items():
+    for name, fn in workload_map().items():
         t0 = time.time()
         rows[name] = _count(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
@@ -74,10 +77,12 @@ def main():
     t_all = time.time()
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the JVM + Arrow path once (session/codegen startup noise)
-    import __spark_entry__ as em
-
-    em.q_pip_join(spark, "/root/testdata/sf0.001").count()
+    # warm up every workload once at sf0.001 (outside the timed region):
+    # pre-spins the Python worker pool and pre-compiles the whole-stage
+    # codegen for each plan shape, so the timings below measure
+    # steady-state throughput rather than first-call JIT/startup noise
+    for fn in workload_map().values():
+        fn(spark, "/root/testdata/sf0.001").count()
     times, rows = run_queries(spark, SF_DIR)
     n_points = input_rows(spark, SF_DIR)
     total = sum(times.values())
