@@ -33,6 +33,7 @@ __all__ = [
     "ring_contains_points",
     "ring_contains_point",
     "ring_sample",
+    "rewind",
     "organize_polygon_rings",
     "points_in_rings_even_odd",
     "close_ring",
@@ -53,6 +54,13 @@ def close_ring(ring: np.ndarray) -> np.ndarray:
     if len(a) and not np.array_equal(a[0], a[-1]):
         a = np.vstack([a, a[:1]])
     return a
+
+
+def rewind(ring) -> np.ndarray:
+    """The ring in reversed vertex order — flips orientation (reference
+    rewind, sf.py:843-845; used by its __geo_interface__ RFC-7946
+    normalization, sf.py:1518-1556)."""
+    return _as_xy(ring)[::-1].copy()
 
 
 def signed_area(ring, fast: bool = False) -> float:

@@ -133,7 +133,9 @@ def _shape_wkb(shape_type: int, points: np.ndarray, parts: np.ndarray) -> bytes 
 
 
 def parse_shp_bytes(
-    shp: bytes, bbox: tuple[float, float, float, float] | None = None
+    shp: bytes,
+    bbox: tuple[float, float, float, float] | None = None,
+    outside_bbox_as_none: bool = False,
 ) -> pd.DataFrame:
     """Parse a whole .shp byte buffer into a pandas DataFrame of
     GEOM_FIELDS columns.
@@ -142,6 +144,9 @@ def parse_shp_bytes(
     (sf.py:1683-1687): shapes whose bbox does not overlap are skipped
     after reading only their 32-byte bbox prefix (here: cheap slicing).
     oid remains the file position of the record.
+    ``outside_bbox_as_none`` keeps filtered-out records as null-geometry
+    rows to preserve positional indexing (reference
+    outside_bbox_as_None iterator variant, sf.py:3553-3600).
     """
     if len(shp) < 100:
         raise ValueError("not a .shp file: header too short")
@@ -181,6 +186,14 @@ def parse_shp_bytes(
             rows["z"].append(z)
             rows["m"].append(m)
             rows["part_types"].append(part_types)
+        elif outside_bbox_as_none:
+            rows["oid"].append(oid)
+            rows["shape_type"].append(stype)
+            for k in ("wkb", "xmin", "ymin", "xmax", "ymax", "z", "m",
+                      "part_types"):
+                rows[k].append(None)
+            rows["num_parts"].append(0)
+            rows["num_points"].append(0)
         oid += 1
         pos = next_pos
     df = pd.DataFrame(rows)
@@ -291,13 +304,16 @@ def parse_dbf_bytes(
     fields: list[str] | None = None,
     encoding: str = "utf-8",
     encoding_errors: str = "strict",
+    deleted_as_none: bool = False,
 ) -> pd.DataFrame:
     """Parse a whole .dbf byte buffer into a typed pandas DataFrame.
 
     Value semantics mirror the reference record parser (sf.py:3109-3208);
-    deleted rows are dropped; ``fields`` projects columns (reference
-    column pruning, sf.py:3051-3107).  An ``oid`` column carries the
-    0-based record position (pre-deletion-filter, matching reference
+    deleted rows are dropped (``deleted_as_none=True`` keeps them as
+    all-None rows to preserve indexing, reference deleted_as_None,
+    sf.py:3252-3300); ``fields`` projects columns (reference column
+    pruning, sf.py:3051-3107).  An ``oid`` column carries the 0-based
+    record position (pre-deletion-filter, matching reference
     shape/record alignment).
     """
     if len(dbf) < 32:
@@ -322,7 +338,7 @@ def parse_dbf_bytes(
     raw_rows = [body[i * record_len : (i + 1) * record_len] for i in range(n)]
 
     deleted = np.array([r[:1] != b" " for r in raw_rows], dtype=bool)
-    keep = ~deleted
+    keep = np.ones(n, dtype=bool) if deleted_as_none else ~deleted
     oids = np.arange(n, dtype=np.int64)[keep]
 
     wanted = None if fields is None else {f for f in fields}
@@ -333,8 +349,11 @@ def parse_dbf_bytes(
         col_off += size
         if wanted is not None and name not in wanted:
             continue
-        vals = [_parse_dbf_value(r[sl], ftype, decimal, encoding, encoding_errors)
-                for r, k in zip(raw_rows, keep) if k]
+        vals = [
+            None if d
+            else _parse_dbf_value(r[sl], ftype, decimal, encoding, encoding_errors)
+            for r, k, d in zip(raw_rows, keep, deleted) if k
+        ]
         out[name] = vals
     df = pd.DataFrame(out)
     # stable dtypes: nullable ints for N(decimal=0)
@@ -460,6 +479,68 @@ def read_zip_shapefile(
     if not frames:
         raise FileNotFoundError("no .shp members in zip")
     return pd.concat(frames, ignore_index=True)
+
+
+def _fetch_url(url: str, timeout: float = 30.0) -> bytes:
+    from urllib.request import Request, urlopen  # noqa: PLC0415
+
+    req = Request(url, headers={"User-agent": "pyshp-spark/1.0"})
+    with urlopen(req, timeout=timeout) as resp:
+        ctype = resp.headers.get("Content-Type", "") if resp.headers else ""
+        data = resp.read()
+        if "text/html" in ctype or data[:14].upper().startswith(b"<!DOCTYPE HTML"):
+            raise ValueError(f"URL {url} returned HTML, not a shapefile")
+        return data
+
+
+def read_url_shapefile(url: str, bbox=None, fields=None) -> pd.DataFrame:
+    """Fetch a shapefile (or a .zip of shapefiles) from a URL and parse
+    it (reference URL source, sf.py:2748-2814: .shp + sibling .dbf
+    fetched, missing .dbf tolerated, HTML responses rejected).
+
+    ``file://`` URLs work without network (how the tests pin this);
+    http(s) works in connected deployments.  For distributed fetch use
+    :func:`read_shapefile_urls`."""
+    low = url.lower()
+    if low.endswith(".zip"):
+        return read_zip_shapefile(_fetch_url(url), bbox=bbox, fields=fields)
+    base = url[:-4] if low.endswith((".shp", ".dbf", ".shx")) else url
+    shp = _fetch_url(base + ".shp")
+    try:
+        dbf = _fetch_url(base + ".dbf")
+    except Exception:
+        # .dbf optional, like the reference's suppressed sibling fetch
+        dbf = None
+    return shapefile_to_pandas(shp, dbf, bbox=bbox, fields=fields)
+
+
+def read_shapefile_urls(spark, urls: list[str], bbox=None, fields=None):
+    """Distributed URL ingest: one task per URL, fetched and parsed ON
+    THE EXECUTORS (the driver never touches the bytes) — the scale path
+    for pulling many remote shapefiles into one DataFrame.  Schema is
+    inferred from the first URL."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if not urls:
+        raise ValueError("no urls")
+    sample = read_url_shapefile(urls[0], bbox=bbox, fields=fields)
+    sample.insert(0, "src", urls[0])
+    schema = spark.createDataFrame(sample.head(10)).schema
+
+    urls_df = spark.createDataFrame(
+        [(u,) for u in urls], "url string"
+    ).repartition(len(urls))
+
+    def parse(iterator: Iterable[pd.DataFrame]):
+        for pdf in iterator:
+            for (url,) in pdf.itertuples(index=False):
+                out = read_url_shapefile(url, bbox=bbox, fields=fields)
+                out.insert(0, "src", url)
+                yield out
+
+    return urls_df.mapInPandas(parse, schema=schema).withColumn(
+        "src", F.col("src")
+    )
 
 
 def _pairs_in_dir(path: str) -> list[tuple[str, str | None]]:

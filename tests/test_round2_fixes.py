@@ -326,3 +326,72 @@ def test_token_jaccard_max_df_matches_python_oracle(spark):
             if union and round(inter / union, 6) >= thr:
                 want[(a, b)] = (inter, round(inter / union, 6))
     assert got == want
+
+
+# --------------------------------------------- URL source + variants ----
+
+
+def test_read_url_shapefile_file_scheme():
+    from pyshp_spark.sources.shapefile import read_url_shapefile
+
+    url = "file:///root/reference/tests/shapefiles/blockgroups.shp"
+    df = read_url_shapefile(url)
+    assert len(df) == 663  # .dbf sibling fetched too (attrs merged)
+    assert "POP1990" in df.columns or len(df.columns) > 12
+
+
+def test_read_url_shapefile_zip():
+    from pyshp_spark.sources.shapefile import read_url_shapefile
+
+    df = read_url_shapefile("file:///root/reference/tests/shapefiles/blockgroups.zip")
+    assert len(df) == 663
+
+
+def test_read_shapefile_urls_distributed(spark):
+    from pyshp_spark.sources.shapefile import read_shapefile_urls
+
+    urls = [
+        "file:///root/reference/tests/shapefiles/blockgroups.shp",
+        "file:///root/reference/tests/shapefiles/blockgroups.shp",
+    ]
+    df = read_shapefile_urls(spark, urls)
+    assert df.count() == 2 * 663
+
+
+def test_deleted_as_none_preserves_indexing():
+    fields = [("v", "N", 4, 0)]
+    dbf = bytearray(write_dbf(fields, [[1], [2], [3]]))
+    header_len = 32 + 32 + 1
+    rec_len = 5
+    dbf[header_len + rec_len] = 0x2A  # '*' = deleted flag on record 1
+    from pyshp_spark.sources.shapefile import parse_dbf_bytes as p
+
+    dropped = p(bytes(dbf))
+    assert list(dropped["oid"]) == [0, 2]
+    kept = p(bytes(dbf), deleted_as_none=True)
+    assert list(kept["oid"]) == [0, 1, 2]
+    assert kept["v"][1] is None or pd.isna(kept["v"][1])
+    assert list(kept["v"][[0, 2]]) == [1, 3]
+
+
+def test_outside_bbox_as_none_preserves_indexing():
+    from pyshp_spark.sources.shapefile import POINT
+
+    shp, _ = write_shp([(POINT, (0.0, 0.0)), (POINT, (100.0, 100.0)),
+                        (POINT, (1.0, 1.0))])
+    flt = parse_shp_bytes(shp, bbox=(-5, -5, 5, 5))
+    assert list(flt["oid"]) == [0, 2]
+    kept = parse_shp_bytes(shp, bbox=(-5, -5, 5, 5), outside_bbox_as_none=True)
+    assert list(kept["oid"]) == [0, 1, 2]
+    assert kept["wkb"][1] is None
+    assert kept["wkb"][0] is not None
+
+
+def test_rewind_kernel(ref_shapefile):
+    from pyshp_spark.kernels.rings import is_cw, rewind
+
+    ring = np.array([[0.0, 0.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0], [0.0, 0.0]])
+    r2 = rewind(ring)
+    assert is_cw(ring) != is_cw(r2)
+    want = ref_shapefile.rewind([tuple(p) for p in ring])
+    assert [tuple(p) for p in r2] == want
