@@ -1,0 +1,108 @@
+"""Regenerate PLANS.txt: formatted physical plans for the headline
+queries (the .explain audit trail — checked for pushdown, codegen
+spans, broadcast vs sort-merge choice, and absence of dedup/anti
+exchanges after the round-2 single-pass rework).
+
+Usage: python scripts/capture_plans.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    sections = {}
+    sections["pip_join (broadcast index path)"] = fmt(em.q_pip_join(spark, sf_dir))
+
+    from pyshp_spark.operators.spatial import point_in_polygon_join  # noqa: E402
+
+    pts = em._pts(spark, sf_dir)
+    dia = em._diamond_wkb(em._diamonds(spark, sf_dir))
+    sections["pip_join (sort-merge path)"] = fmt(
+        point_in_polygon_join(
+            pts, dia, grid=em.ENTRY_GRID, polygon_cols=["oid"],
+            broadcast_polygons=False,
+        )
+    )
+    sections["spatial_anti (single refine pass, no join)"] = fmt(
+        em.q_spatial_anti(spark, sf_dir)
+    )
+    sections["tile_assign (responsibility-cell filter, no dedup exchange)"] = fmt(
+        em.q_tile_assign(spark, sf_dir)
+    )
+    sections["bbox_filter"] = fmt(em.q_bbox_filter(spark, sf_dir))
+    sections["ann_cosine (per-row norms, 1 dot/pair)"] = fmt(
+        em.q_ann_cosine(spark, sf_dir)
+    )
+    sections["text_quality"] = fmt(em.q_text_quality(spark, sf_dir))
+    sections["token_jaccard (df-capped postings)"] = fmt(
+        # the final localCheckpoint hides the plan; capture pre-checkpoint
+        _token_jaccard_plan(spark, sf_dir)
+    )
+
+    out = []
+    for name, plan in sections.items():
+        out.append(f"===== {name} =====\n{plan}")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}: {len(sections)} plans")
+    spark.stop()
+
+
+def _token_jaccard_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyshp_spark.operators.text import tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") % 5) == 0
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tokens_expr(F.col("text"))).alias("tok"),
+    ).distinct()
+    hot = (
+        toks.groupBy("tok").agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > em.TOKEN_JACCARD_MAX_DF).select("tok")
+    )
+    toks = toks.join(F.broadcast(hot), on="tok", how="left_anti")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("nset"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, on="tok").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nset", "na"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nset", "nb"), on="id_b")
+    )
+
+
+if __name__ == "__main__":
+    main()
