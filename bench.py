@@ -118,7 +118,7 @@ def _scaled_pts(em, spark, sf_dir: str, factor: int):
     )
 
 
-def scaling(levels=(2, 8), factor=30, repeats=2):
+def scaling(levels=(2, 8), factor=30, repeats=4):
     """Same PIP-join probe + identical input at local[N] and local[4N]:
     throughput both ways + scaling efficiency (sandbox proxy for N vs
     4N executors).  The polygon index is built ONCE per session

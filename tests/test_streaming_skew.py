@@ -128,3 +128,51 @@ class TestSkewPlanner:
         # images fixture has a 20% hot cluster -> planner salts
         k = plan_salt_k(df, x="lon", y="lat", target_ratio=2.0)
         assert k is None or (2 <= k <= 16)
+
+
+class TestStreamingDedup:
+    def test_first_arrival_kept_duplicates_dropped(self, spark, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+
+        from pyshp_spark.streaming.pip_stream import streaming_exact_dedup
+
+        src = tmp_path / "dedup_in"
+        src.mkdir()
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        batch = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["alpha", "ALPHA  ", "beta", "alpha", "gamma"],
+            "ts": [t0 + dt.timedelta(seconds=i) for i in range(5)],
+        })
+        # Spark's vectorized reader wants TIMESTAMP(MICROS), not NANOS
+        batch["ts"] = batch["ts"].astype("datetime64[us]")
+        batch.to_parquet(src / "part1.parquet")
+
+        schema = StructType([
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ])
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, ts timestamp"
+            ).parquet(str(src))
+        )
+        del schema
+        out = streaming_exact_dedup(stream, text="text", ts="ts")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        # alpha/ALPHA/alpha collapse to the first arrival; beta+gamma kept
+        texts = sorted(r.text.strip().lower() for r in rows)
+        assert texts == ["alpha", "beta", "gamma"]
+        ids = {r.text.strip().lower(): r.doc_id for r in rows}
+        assert ids["alpha"] == 1  # FIRST arrival survives
