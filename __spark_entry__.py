@@ -40,6 +40,7 @@ from pyshp_spark.operators.dedup import (  # noqa: E402
 )
 from pyshp_spark.operators.similarity import (  # noqa: E402
     cosine_topk_brute,
+    ivf_topk,
     lsh_topk,
 )
 from pyshp_spark.operators.spatial import (  # noqa: E402
@@ -50,8 +51,11 @@ from pyshp_spark.operators.spatial import (  # noqa: E402
     spatial_semi_join,
 )
 from pyshp_spark.operators.text import (  # noqa: E402
+    bpe_token_count_expr,
+    bpe_token_count_sql,
     lang_id_sql,
     quality_sql_columns,
+    token_count_expr,
     with_fingerprint,
     with_lang_id,
     with_text_quality,
@@ -375,6 +379,15 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count_expr(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where((F.col("vec_id") % 25) == 0).select(
@@ -442,6 +455,14 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_topk(queries, emb, k=3, dim=dim, n_planes=6, probe_bits=2)
 
 
+def q_ivf_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where((F.col("vec_id") % 50) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(queries, emb, k=3, n_centroids=64, n_probe=8)
+
+
 def q_geojson_export(spark, sf_dir):
     dia = _diamond_wkb(_diamonds(spark, sf_dir))
     return dia.select(
@@ -476,20 +497,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "ann_cosine": q_ann_cosine,
         "embedding_dedup": q_embedding_dedup,
         "minhash_sig": q_minhash_sig,
         "simhash_sig": q_simhash_sig,
         "fingerprint": q_fingerprint,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "geojson_export": q_geojson_export,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyshp_spark.operators.text import token_count_sql  # noqa: PLC0415
+
     x0, y0, x1, y1 = QUERY_BBOX
     pip_pred = "abs(p.x - d.cx) + abs(p.y - d.cy) < d.r"
     quality = quality_sql_columns("text")
+    token_count_sql_str = token_count_sql("text")
     return {
         "bbox_filter": f"""
             WITH pts AS ({_PTS_SQL})
@@ -629,6 +655,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum({quality['n_tokens']}) AS BIGINT) AS total_tokens,
                    CAST(sum({quality['n_chars_q']}) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST({token_count_sql_str} AS BIGINT) AS ws_tokens,
+                   CAST({bpe_token_count_sql('text')} AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            WITH b AS (
+              SELECT doc_id, list_transform(range(0, octet_length(encode(text))),
+                     i -> (('0x' || substr(hex(encode(text)), 2*i+1, 2))::INTEGER)::HUGEINT) AS bytes
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+                   THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp64
+            FROM (
+              SELECT doc_id,
+                CASE WHEN len(bytes) = 0 THEN 14695981039346656037::HUGEINT
+                ELSE list_reduce(list_prepend(0::HUGEINT, bytes),
+                     (acc, x) -> (acc * 1099511628211::HUGEINT + x + 1::HUGEINT)
+                                 % 18446744073709551616::HUGEINT)
+                END AS fp
+              FROM b
+            )
         """,
         "ann_cosine": """
             WITH q AS (

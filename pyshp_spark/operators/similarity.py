@@ -168,6 +168,91 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic stand-in for a k-means codebook (same join topology,
+    reproducible tests); swap in trained centroids for better recall.
+    Each corpus vector is assigned to its nearest centroid (one numpy
+    matmul per Arrow batch); queries probe their ``n_probe`` nearest
+    centroid lists and candidates get an exact cosine rerank.
+
+    Scale shape: the centroid matrix broadcasts (tiny), assignment is a
+    single pass over the corpus, and the probe is a bucket equi-join —
+    per-query work is |corpus| * n_probe / n_centroids instead of
+    |corpus|.  At 10^12 rows the assignment column is precomputed and
+    stored; only the equi-join runs per query batch.
+    """
+    cent_pdf = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cent = np.vstack([np.asarray(v, dtype=np.float64) for v in cent_pdf["cv"]])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int64))
+
+    def probe_udf(n):
+        @F.pandas_udf("array<long>")
+        def probe(vecs: pd.Series) -> pd.Series:
+            c = bc.value
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = m @ c.T
+            idx = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series(list(idx.astype(np.int64)))
+
+        return probe
+
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).alias("__cv"),
+        norm_expr(F.col(corpus_vec)).alias("__cn"),
+        assign(F.col(corpus_vec)).alias("__list"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        norm_expr(F.col(query_vec)).alias("__qn"),
+        F.explode(probe_udf(n_probe)(F.col(query_vec))).alias("__list"),
+    )
+    cand = F.broadcast(q).join(c, on="__list")
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            dot_expr(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     tau: float,

@@ -42,6 +42,24 @@ def token_count_expr(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the classic GPT-2-style split shape, restricted to a regex that
+# behaves identically in Java (Spark) and RE2 (DuckDB) so the count has
+# an exact SQL oracle
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Sub-word-ish token count: one token per letter run / digit run /
+    punctuation char.  A cheap, deterministic proxy for BPE token
+    budgeting over a 100 TB corpus — pure Column regex, codegen'd."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_TOKEN_PATTERN}'))"
+
+
 def stopword_hits_expr(text: Column, lang: str) -> Column:
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(
