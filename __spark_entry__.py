@@ -34,7 +34,9 @@ from pyshp_spark.functions.cells import Grid  # noqa: E402
 from pyshp_spark.functions.geojson import geojson_udf  # noqa: E402
 from pyshp_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
+    minhash_sig0_sql,
     minhash_udf,
+    simhash_sql,
     simhash_udf,
     token_jaccard_pairs,
 )
@@ -662,6 +664,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST({bpe_token_count_sql('text')} AS BIGINT) AS bpe_tokens
             FROM documents
         """,
+        "minhash_sig": minhash_sig0_sql("documents"),
+        "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (
               SELECT doc_id, list_transform(range(0, octet_length(encode(text))),

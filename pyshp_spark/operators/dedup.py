@@ -20,7 +20,7 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -128,6 +128,18 @@ def token_jaccard_pairs(
 # ------------------------------------------------------------ MinHash ----
 
 _MERSENNE = (1 << 61) - 1
+_U64 = 1 << 64
+
+
+def _hash64(b: bytes) -> int:
+    """Deterministic 64-bit base hash: the first 8 bytes of md5.
+    Chosen over crc32 because DuckDB computes the identical value
+    (('0x' || substr(md5(x),1,16))::UBIGINT), giving the sketches exact
+    SQL oracles."""
+    return int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+
+
+_HASH64_SQL = "('0x' || substr(md5({x}), 1, 16))::UBIGINT::HUGEINT"
 
 
 def _minhash_params(num_perm: int, seed: int = 1):
@@ -153,7 +165,7 @@ def minhash_signature_py(text: str, num_perm: int = 64, width: int = 3,
     sh = shingles(text, width)
     if not sh:
         return np.zeros(num_perm, dtype=np.int64)
-    base = np.array([zlib.crc32(s) for s in sh], dtype=np.uint64)
+    base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
     vals = (a[None, :] * base[:, None] + b[None, :]) % np.uint64(_MERSENNE)
     return vals.min(axis=0).astype(np.int64)
 
@@ -169,7 +181,7 @@ def minhash_udf(num_perm: int = 64, width: int = 3, seed: int = 1):
             if not sh:
                 out.append(np.zeros(num_perm, dtype=np.int64))
                 continue
-            base = np.array([zlib.crc32(s) for s in sh], dtype=np.uint64)
+            base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
             vals = (a[None, :] * base[:, None] + b[None, :]) % np.uint64(_MERSENNE)
             out.append(vals.min(axis=0).astype(np.int64))
         return pd.Series(out)
@@ -241,6 +253,87 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------- sketch SQL oracles ----------
+
+
+def minhash_sig0_sql(table: str, key: str = "doc_id", text: str = "text",
+                     num_perm: int = 64, width: int = 3, seed: int = 1) -> str:
+    """DuckDB query computing the FIRST minhash signature element for
+    every row of ``table`` — the exact mirror of
+    ``element_at(minhash_udf()(text), 1)`` (the numpy side's uint64
+    wrap-around is reproduced with explicit mod-2^64 steps)."""
+    a, b = _minhash_params(num_perm, seed)
+    a0, b0 = int(a[0]), int(b[0])
+    h = _HASH64_SQL.format(x="s.sh")
+    return f"""
+        WITH tk AS (
+            SELECT {key}, list_filter(regexp_split_to_array(lower({text}), '\\s+'),
+                                      x -> x <> '') AS tks
+            FROM {table}
+        ),
+        sh AS (
+            SELECT {key},
+                CASE WHEN len(tks) = 0 THEN []::VARCHAR[]
+                     WHEN len(tks) < {width} THEN [array_to_string(tks, ' ')]
+                     ELSE list_transform(range(0, len(tks) - {width - 1}),
+                                         i -> array_to_string(tks[i+1:i+{width}], ' '))
+                END AS shingles
+            FROM tk
+        ),
+        hv AS (
+            SELECT {key}, {h} AS h
+            FROM sh, unnest(shingles) AS s(sh)
+        ),
+        sig AS (
+            SELECT {key},
+                min((({a0}::HUGEINT * h) % {_U64}::HUGEINT + {b0}::HUGEINT)
+                    % {_U64}::HUGEINT % {_MERSENNE}::HUGEINT) AS sig0
+            FROM hv GROUP BY {key}
+        )
+        SELECT t.{key}, CAST(COALESCE(s.sig0, 0) AS BIGINT) AS sig0
+        FROM tk t LEFT JOIN sig s USING ({key})
+    """
+
+
+def simhash_sql(table: str, key: str = "doc_id", text: str = "text") -> str:
+    """DuckDB query computing the 64-bit simhash for every row of
+    ``table`` — exact mirror of ``simhash_udf()`` (majority bit votes
+    over the token multiset, signed-int64 mapping)."""
+    h = _HASH64_SQL.format(x="t.tk")
+    votes = ",\n                ".join(
+        f"sum(((h // {1 << j}::HUGEINT) % 2)::BIGINT) AS b{j}" for j in range(64)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN 2 * b{j} >= n THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64)
+    )
+    return f"""
+        WITH tk AS (
+            SELECT {key}, list_filter(regexp_split_to_array(lower({text}), '\\s+'),
+                                      x -> x <> '') AS tks
+            FROM {table}
+        ),
+        tok AS (
+            SELECT {key}, {h} AS h
+            FROM tk, unnest(tks) AS t(tk)
+        ),
+        votes AS (
+            SELECT {key}, count(*) AS n,
+                {votes}
+            FROM tok GROUP BY {key}
+        ),
+        packed AS (
+            SELECT {key}, ({packed}) AS raw FROM votes
+        )
+        SELECT t.{key},
+            CAST(COALESCE(
+                CASE WHEN p.raw >= {1 << 63}::HUGEINT THEN p.raw - {_U64}::HUGEINT
+                     ELSE p.raw END,
+                0) AS BIGINT) AS simhash
+        FROM tk t LEFT JOIN packed p USING ({key})
+    """
+
+
 # ------------------------------------------------------------ SimHash ----
 
 
@@ -270,9 +363,7 @@ def simhash64_py(text: str) -> int:
     toks = [t for t in ("" if text is None else text).lower().split() if t]
     if not toks:
         return 0
-    hashes = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.uint64)
-    # widen crc32 to 64 bits deterministically
-    h64 = hashes * np.uint64(0x9E3779B97F4A7C15)
+    h64 = np.array([_hash64(t.encode()) for t in toks], dtype=np.uint64)
     bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
