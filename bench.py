@@ -107,11 +107,13 @@ def main():
 def _scaled_pts(em, spark, sf_dir: str, factor: int):
     """x``factor`` replication of the derived point set (same input at
     every parallelism level; big enough that compute, not session
-    overhead, dominates)."""
+    overhead, dominates).  4x-cores partitioning amortizes stragglers
+    on the shared host (each task ~560k points after the explode)."""
     from pyspark.sql import functions as F
 
     return (
-        em._pts(spark, sf_dir)
+        em._pts(spark, sf_dir, spread=False)
+        .repartition(4 * spark.sparkContext.defaultParallelism)
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         .withColumn("x", F.col("x") + F.col("rep") * 0.0001)
         .drop("rep")

@@ -273,8 +273,11 @@ class BroadcastPolygonIndex:
         pcols = point_cols or list(points.columns)
         grid = self.grid
         bc = self.bc
-        probe = _points_with_cell(points.select(*pcols), x, y, grid, None)
-        point_fields = [f for f in probe.schema.fields if f.name != _P + "cell"]
+        # the cell id is recomputed from (x, y) INSIDE the worker — it is
+        # pure float math, and not shipping it saves an int64 Arrow
+        # column on the fact side (the channel is the scaling bottleneck)
+        probe = points.select(*pcols)
+        point_fields = list(probe.schema.fields)
         if mode == "inner":
             out_schema = StructType(
                 point_fields
@@ -335,9 +338,9 @@ class BroadcastPolygonIndex:
                         out[_P + "matches"] = []
                     yield out
                     continue
-                cells = pdf[_P + "cell"].to_numpy(dtype=np.int64)
                 px = pdf[x].to_numpy(dtype=np.float64)
                 py = pdf[y].to_numpy(dtype=np.float64)
+                cells = grid.cell_np(px, py)
                 idx_parts = []
                 pid_parts = []
                 for s in range(0, n, SLICE):
