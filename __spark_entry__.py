@@ -139,28 +139,32 @@ FROM part
 
 def _diamond_wkb(df: DataFrame) -> DataFrame:
     """Attach real polygon WKB (4-vertex diamond, CW exterior) so the
-    PIP join exercises the actual ray-cast refine kernel."""
+    PIP join exercises the actual ray-cast refine kernel.  Assembly is
+    fully vectorized: one (n, 93)-byte buffer per Arrow batch instead
+    of a per-row pack loop."""
 
     @F.pandas_udf(BinaryType())
     def mk(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
         import numpy as np  # noqa: PLC0415
 
-        from pyshp_spark.kernels.wkb import wkb_polygon  # noqa: PLC0415
-
-        out = []
-        for a, b, c in zip(cx, cy, r):
-            ring = np.array(
-                [
-                    [a, b + c],
-                    [a + c, b],
-                    [a, b - c],
-                    [a - c, b],
-                    [a, b + c],
-                ],
-                dtype=np.float64,
-            )
-            out.append(wkb_polygon([ring]))
-        return pd.Series(out)
+        a = cx.to_numpy(dtype=np.float64)
+        b = cy.to_numpy(dtype=np.float64)
+        c = r.to_numpy(dtype=np.float64)
+        n = len(a)
+        coords = np.empty((n, 5, 2), dtype="<f8")
+        coords[:, 0, 0] = a; coords[:, 0, 1] = b + c
+        coords[:, 1, 0] = a + c; coords[:, 1, 1] = b
+        coords[:, 2, 0] = a; coords[:, 2, 1] = b - c
+        coords[:, 3, 0] = a - c; coords[:, 3, 1] = b
+        coords[:, 4, 0] = a; coords[:, 4, 1] = b + c
+        # 1-byte LE flag + Polygon(3) + numRings(1) + numPoints(5)
+        prefix = np.frombuffer(
+            b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
+        )
+        buf = np.empty((n, 13 + 80), dtype=np.uint8)
+        buf[:, :13] = prefix
+        buf[:, 13:] = coords.reshape(n, 10).view(np.uint8)
+        return pd.Series(list(buf.tobytes()[i * 93 : (i + 1) * 93] for i in range(n)))
 
     return df.withColumn("wkb", mk(F.col("cx"), F.col("cy"), F.col("r")))
 
