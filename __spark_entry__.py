@@ -708,6 +708,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
         """,
+        # the diamond fixture's coords are all integral doubles, so
+        # DuckDB's VARCHAR cast prints them exactly like json.dumps —
+        # the canonical GeoJSON string is assembled byte-for-byte
+        "geojson_export": f"""
+            WITH d AS ({_DIAMONDS_SQL})
+            SELECT oid,
+              '{{"coordinates": [[[' ||
+              cx::VARCHAR || ', ' || (cy+r)::VARCHAR || '], [' ||
+              (cx+r)::VARCHAR || ', ' || cy::VARCHAR || '], [' ||
+              cx::VARCHAR || ', ' || (cy-r)::VARCHAR || '], [' ||
+              (cx-r)::VARCHAR || ', ' || cy::VARCHAR || '], [' ||
+              cx::VARCHAR || ', ' || (cy+r)::VARCHAR ||
+              ']]], "type": "Polygon"}}' AS geojson
+            FROM d
+        """,
         "embedding_dedup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
