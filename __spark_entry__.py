@@ -10,9 +10,14 @@ kernel, while the SQL mirror is a pure inequality).  Coordinate offsets
 (0.25/0.1/0.5) guarantee no point ever lies on a polygon boundary or
 vertex ray, so ray-cast and inequality agree exactly.
 
-Non-SQL-expressible ops (MinHash/SimHash sketches, LSH ANN, rolling-
-hash fingerprints, GeoJSON export) are exposed as rows-only queries and
-carry exact pytest oracles instead (tests/).
+Sketches are built on an md5-prefix base hash so even the MinHash/
+SimHash signature AND near-dup-pair pipelines have exact DuckDB mirrors
+(HUGEINT mod-2^64 arithmetic); the rolling-hash fingerprint mirrors as
+a Horner reduction over utf-8 bytes; the GeoJSON export string is
+assembled byte-for-byte in SQL.  Only the two ANN probes (lsh_ann,
+ivf_ann) are rows-only — their bucket membership rides on float paths
+SQL cannot reproduce bit-stably — and both carry exact pytest oracles
+(IVF's full-probe mode is tested equal to brute force).
 """
 
 from __future__ import annotations
@@ -34,8 +39,12 @@ from pyshp_spark.functions.cells import Grid  # noqa: E402
 from pyshp_spark.functions.geojson import geojson_udf  # noqa: E402
 from pyshp_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
+    minhash_dedup_pairs,
+    minhash_pairs_sql,
     minhash_sig0_sql,
     minhash_udf,
+    simhash_dedup_pairs,
+    simhash_pairs_sql,
     simhash_sql,
     simhash_udf,
     token_jaccard_pairs,
@@ -362,6 +371,16 @@ def q_token_jaccard(spark, sf_dir):
     )
 
 
+def q_minhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, key="doc_id", text="text", threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dedup_pairs(docs, key="doc_id", text="text", max_hamming=3)
+
+
 def q_text_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = with_text_quality(docs, text="text")
@@ -500,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_slice": q_project_slice,
         "dedup_exact": q_dedup_exact,
         "token_jaccard": q_token_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -669,6 +690,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_sig": minhash_sig0_sql("documents"),
+        "minhash_pairs": minhash_pairs_sql("documents", threshold=0.5),
+        "simhash_pairs": simhash_pairs_sql("documents", max_hamming=3),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

@@ -211,6 +211,9 @@ def minhash_dedup_pairs(
     with_sig = df.select(
         F.col(key).alias("id"), F.col(text).alias("__txt"), sig(F.col(text)).alias("__sig")
     )
+    # join directly on the band's signature slice (arrays are hashable
+    # join keys): no 32-bit band-hash collisions, and the candidate set
+    # is exactly SQL-mirrorable (see minhash_pairs_sql)
     banded = with_sig.select(
         "id",
         "__txt",
@@ -222,16 +225,16 @@ def minhash_dedup_pairs(
                 ]
             )
         ).alias("band", "band_sig"),
-    ).withColumn("band_hash", F.hash("band", F.col("band_sig").cast("string")))
+    )
 
     left = banded.select(
-        F.col("id").alias("id_a"), F.col("__txt").alias("__txt_a"), "band", "band_hash"
+        F.col("id").alias("id_a"), F.col("__txt").alias("__txt_a"), "band", "band_sig"
     )
     right = banded.select(
-        F.col("id").alias("id_b"), F.col("__txt").alias("__txt_b"), "band", "band_hash"
+        F.col("id").alias("id_b"), F.col("__txt").alias("__txt_b"), "band", "band_sig"
     )
     cand = (
-        left.join(right, on=["band", "band_hash"])
+        left.join(right, on=["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__txt_a", "__txt_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -295,6 +298,81 @@ def minhash_sig0_sql(table: str, key: str = "doc_id", text: str = "text",
     """
 
 
+def minhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
+                      num_perm: int = 64, bands: int = 16, width: int = 3,
+                      threshold: float = 0.5, seed: int = 1,
+                      where: str = "TRUE") -> str:
+    """DuckDB query mirroring the ENTIRE MinHash-LSH near-dup pipeline
+    (``minhash_dedup_pairs``): 64 affine-permutation minima per doc,
+    band slices as join keys, candidate pairs (a < b), exact
+    shingle-set Jaccard verification at ``threshold``.  Docs with empty
+    shingle sets produce no pairs on either side (their true Jaccard is
+    0 < threshold)."""
+    a, b = _minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    h = _HASH64_SQL.format(x="s.sh")
+    mins = ",\n                ".join(
+        f"CAST(min((({int(a[i])}::HUGEINT * h) % {_U64}::HUGEINT"
+        f" + {int(b[i])}::HUGEINT) % {_U64}::HUGEINT"
+        f" % {_MERSENNE}::HUGEINT) AS BIGINT) AS m{i}"
+        for i in range(num_perm)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT {key}, {bi} AS band, "
+        + " || ',' || ".join(
+            f"m{bi * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+        )
+        + " AS bs FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+        WITH tk AS (
+            SELECT {key}, list_filter(regexp_split_to_array(lower({text}), '\\s+'),
+                                      x -> x <> '') AS tks
+            FROM {table} WHERE {where}
+        ),
+        sh AS (
+            SELECT {key},
+                CASE WHEN len(tks) = 0 THEN []::VARCHAR[]
+                     WHEN len(tks) < {width} THEN [array_to_string(tks, ' ')]
+                     ELSE list_transform(range(0, len(tks) - {width - 1}),
+                                         i -> array_to_string(tks[i+1:i+{width}], ' '))
+                END AS shingles
+            FROM tk
+        ),
+        hv AS (
+            SELECT {key}, {h} AS h
+            FROM sh, unnest(shingles) AS s(sh)
+        ),
+        sig AS (
+            SELECT {key},
+                {mins}
+            FROM hv GROUP BY {key}
+        ),
+        bands AS (
+            {band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.{key} AS id_a, b.{key} AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs
+            WHERE a.{key} < b.{key}
+        ),
+        shd AS (
+            SELECT {key}, list_distinct(shingles) AS ss FROM sh
+        )
+        SELECT id_a, id_b,
+            round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                  / (len(sa.ss) + len(sb.ss)
+                     - len(list_intersect(sa.ss, sb.ss))), 6) AS jaccard
+        FROM cand
+        JOIN shd sa ON sa.{key} = cand.id_a
+        JOIN shd sb ON sb.{key} = cand.id_b
+        WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+                    / (len(sa.ss) + len(sb.ss)
+                       - len(list_intersect(sa.ss, sb.ss))), 6) >= {threshold}
+    """
+
+
 def simhash_sql(table: str, key: str = "doc_id", text: str = "text") -> str:
     """DuckDB query computing the 64-bit simhash for every row of
     ``table`` — exact mirror of ``simhash_udf()`` (majority bit votes
@@ -331,6 +409,50 @@ def simhash_sql(table: str, key: str = "doc_id", text: str = "text") -> str:
                      ELSE p.raw END,
                 0) AS BIGINT) AS simhash
         FROM tk t LEFT JOIN packed p USING ({key})
+    """
+
+
+def simhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
+                      max_hamming: int = 3, where: str = "TRUE") -> str:
+    """DuckDB query mirroring ``simhash_dedup_pairs``: signatures via
+    :func:`simhash_sql`, pigeonhole chunk banding, exact popcount
+    verification (DuckDB xor/bit_count on BIGINT use two's complement,
+    matching Spark's)."""
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(64, n_chunks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_chunks)]
+    chunk_rows = []
+    shift = 0
+    for ci, w in enumerate(widths):
+        chunk_rows.append(
+            f"SELECT {key}, simhash, {ci} AS chunk_idx, "
+            f"CAST((us // {1 << shift}::HUGEINT) % {1 << w}::HUGEINT AS BIGINT)"
+            f" AS cv FROM u"
+        )
+        shift += w
+    chunks = "\n            UNION ALL ".join(chunk_rows)
+    inner = simhash_sql(f"(SELECT * FROM {table} WHERE {where})", key, text)
+    return f"""
+        WITH s AS ({inner}),
+        u AS (
+            SELECT {key}, simhash,
+                CASE WHEN simhash < 0 THEN simhash::HUGEINT + {_U64}::HUGEINT
+                     ELSE simhash::HUGEINT END AS us
+            FROM s
+        ),
+        chunks AS (
+            {chunks}
+        ),
+        cand AS (
+            SELECT DISTINCT a.{key} AS id_a, b.{key} AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_idx = b.chunk_idx AND a.cv = b.cv
+            WHERE a.{key} < b.{key}
+        )
+        SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
 
