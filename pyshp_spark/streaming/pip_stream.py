@@ -72,6 +72,88 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_cell_running_stats(
+    stream: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    grid: Grid = GRID,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-cell
+    RUNNING totals maintained across micro-batches — row count and the
+    cell's observed point extent (running bbox union, the streaming twin
+    of the batch A1 extent aggregate).  Each update emits the cell's new
+    cumulative row; optional processing-time timeout expires idle cells
+    so state stays bounded.
+
+    This is the custom-state path the built-in windowed aggregate can't
+    express: the state is an accumulator over ALL time (no window), and
+    the per-batch update logic is arbitrary Python over Arrow batches.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("cell", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n_rows", LongType()),
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, xmn, ymn, xmx, ymx = (
+            state.get if state.exists else (0, None, None, None, None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            bx0, bx1 = float(pdf[x].min()), float(pdf[x].max())
+            by0, by1 = float(pdf[y].min()), float(pdf[y].max())
+            xmn = bx0 if xmn is None else min(xmn, bx0)
+            ymn = by0 if ymn is None else min(ymn, by0)
+            xmx = bx1 if xmx is None else max(xmx, bx1)
+            ymx = by1 if ymx is None else max(ymx, by1)
+        state.update((n, xmn, ymn, xmx, ymx))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"cell": [key[0]], "n_rows": [n], "xmin": [xmn], "ymin": [ymn],
+             "xmax": [xmx], "ymax": [ymx]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    keyed = stream.withColumn("cell", grid.cell_expr(F.col(x), F.col(y)))
+    return keyed.groupBy("cell").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def streaming_cell_counts(
     stream: DataFrame,
     x: str = "x",
