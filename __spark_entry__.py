@@ -89,11 +89,12 @@ def _pts(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     The testdata parquet is a single row group (unsplittable scan), so
     ``spread`` repartitions the probe side across the cluster for the
     compute-heavy operators — at real scale the many-row-group input
-    makes this unnecessary.  Cheap scan-shaped queries pass False and
-    keep the single-pass pipeline."""
+    makes this unnecessary.  4x cores (not 1x) so one straggler task on
+    the shared host cannot set the stage wall.  Cheap scan-shaped
+    queries pass False and keep the single-pass pipeline."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if spread:
-        li = li.repartition(spark.sparkContext.defaultParallelism)
+        li = li.repartition(4 * spark.sparkContext.defaultParallelism)
     return li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
         (((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)).alias("x"),
