@@ -1,0 +1,181 @@
+"""Spark 4 Python Data Source for ESRI shapefiles.
+
+The most idiomatic way to expose the ingest (SURVEY §2.1 S1/S3/S6):
+
+    spark.dataSource.register(ShapefileDataSource)
+    df = spark.read.format("shapefile").load("/data/shapes")  # dir or .shp
+
+- one input partition per .shp file (the format's natural parallelism
+  unit); executors parse bytes straight into Arrow RecordBatches;
+- schema inferred once on the driver from the first file's headers;
+- options: ``bbox="x0,y0,x1,y1"`` (spatial pushdown at the byte level,
+  reference sf.py:1683-1687 semantics), ``fields="A,B"`` (dbf column
+  projection), ``encoding=``;
+- bbox-comparison FILTER PUSHDOWN: predicates on the xmin/ymin/xmax/
+  ymax columns are translated into the parser's 32-byte-prefix bbox
+  prune.  Filters are reported back as unhandled, so Spark re-applies
+  them exactly — the pushdown is a pruning hint, never a correctness
+  dependency (strict vs inclusive bounds therefore cannot diverge).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _paths(path: str) -> list[str]:
+    if path.endswith(".shp"):
+        return [path]
+    out = sorted(glob.glob(os.path.join(path, "*.shp")))
+    if not out:
+        raise FileNotFoundError(f"no .shp files under {path}")
+    return out
+
+
+def _parse_bbox_option(s: str | None):
+    if not s:
+        return None
+    vals = [float(v) for v in s.split(",")]
+    if len(vals) != 4:
+        raise ValueError("bbox option must be 'x0,y0,x1,y1'")
+    return tuple(vals)
+
+
+def _read_pair(shp_path: str, bbox, fields, encoding):
+    from pyshp_spark.sources.shapefile import (  # noqa: PLC0415
+        parse_dbf_bytes,
+        parse_shp_bytes,
+    )
+
+    with open(shp_path, "rb") as f:
+        shp = f.read()
+    geoms = parse_shp_bytes(shp, bbox=bbox)
+    dbf_path = shp_path[:-4] + ".dbf"
+    if os.path.exists(dbf_path):
+        with open(dbf_path, "rb") as f:
+            dbf = f.read()
+        attrs = parse_dbf_bytes(dbf, fields=fields, encoding=encoding)
+        geoms = geoms.merge(attrs, on="oid", how="inner", sort=True)
+    geoms.insert(0, "src", shp_path)
+    return geoms
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ShapefileReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("shapefile data source requires a path")
+        self._bbox = _parse_bbox_option(options.get("bbox"))
+        f = options.get("fields")
+        self._fields = [c.strip() for c in f.split(",")] if f else None
+        self._encoding = options.get("encoding", "utf-8")
+        self._schema = schema
+
+    def partitions(self):
+        return [_FilePartition(p) for p in _paths(self._path)]
+
+    def read(self, partition):
+        import pyarrow as pa  # noqa: PLC0415
+        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
+
+        pdf = _read_pair(partition.path, self._bbox, self._fields, self._encoding)
+        arrow_schema = to_arrow_schema(self._schema)
+        pdf = pdf[[f.name for f in self._schema.fields]]
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+        yield from table.to_batches()
+
+
+class ShapefilePushdownReader(ShapefileReader):
+    """Reader variant with bbox filter pushdown — only handed out when
+    spark.sql.python.filterPushdown.enabled is true (Spark refuses any
+    reader that merely DEFINES pushFilters otherwise)."""
+
+    def pushFilters(self, filters):
+        """Translate bbox-column comparisons into the byte-level bbox
+        prune; every filter is returned (= not handled), so Spark still
+        applies them exactly — pruning only, no correctness transfer."""
+        x0, y0, x1, y1 = (
+            self._bbox if self._bbox else (-float("inf"), -float("inf"),
+                                           float("inf"), float("inf"))
+        )
+        for flt in filters:
+            col = getattr(flt, "attribute", None)
+            val = getattr(flt, "value", None)
+            name = col[0] if col and len(col) == 1 else None
+            if isinstance(flt, (GreaterThan, GreaterThanOrEqual)) and (
+                name == "xmax"
+            ):
+                x0 = max(x0, float(val))
+            elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)) and (
+                name == "ymax"
+            ):
+                y0 = max(y0, float(val))
+            elif isinstance(flt, (LessThan, LessThanOrEqual)) and name == "xmin":
+                x1 = min(x1, float(val))
+            elif isinstance(flt, (LessThan, LessThanOrEqual)) and name == "ymin":
+                y1 = min(y1, float(val))
+        if any(v not in (float("inf"), -float("inf")) for v in (x0, y0, x1, y1)):
+            self._bbox = (x0, y0, x1, y1)
+        return filters  # Spark re-applies everything
+
+
+def _pushdown_enabled() -> bool:
+    try:
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        return (
+            spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            .lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
+class ShapefileDataSource(DataSource):
+    """spark.read.format("shapefile").load(dir_or_shp)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shapefile"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema  # noqa: PLC0415
+
+        import pyarrow as pa  # noqa: PLC0415
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("shapefile data source requires a path")
+        bbox = _parse_bbox_option(self.options.get("bbox"))
+        f = self.options.get("fields")
+        fields = [c.strip() for c in f.split(",")] if f else None
+        sample = _read_pair(
+            _paths(path)[0], bbox, fields, self.options.get("encoding", "utf-8")
+        )
+        table = pa.Table.from_pandas(sample.head(10), preserve_index=False)
+        return from_arrow_schema(table.schema)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        cls = ShapefilePushdownReader if _pushdown_enabled() else ShapefileReader
+        return cls(self.options, schema)

@@ -1,0 +1,108 @@
+"""Spark 4 Python Data Source for shapefiles:
+spark.read.format("shapefile") parity with direct ingest, multi-file
+partitioning, options, and bbox filter-pushdown pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyshp_spark.sources.datasource import ShapefileDataSource
+from pyshp_spark.sources.shapefile import shapefile_to_pandas
+
+FIXDIR = "/root/reference/tests/shapefiles"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    spark.dataSource.register(ShapefileDataSource)
+
+
+def test_format_read_matches_direct_ingest(spark):
+    df = spark.read.format("shapefile").load(f"{FIXDIR}/blockgroups.shp")
+    assert df.count() == 663
+    with open(f"{FIXDIR}/blockgroups.shp", "rb") as f:
+        shp = f.read()
+    with open(f"{FIXDIR}/blockgroups.dbf", "rb") as f:
+        dbf = f.read()
+    direct = shapefile_to_pandas(shp, dbf)
+    got = df.where(F.col("oid") == 3).toPandas().iloc[0]
+    want = direct[direct.oid == 3].iloc[0]
+    assert got.num_points == want.num_points == 173
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        assert got[c] == want[c]
+    field_cols = [c for c in direct.columns if c not in ("oid",)]
+    assert set(field_cols) <= set(df.columns)
+
+
+def test_directory_load_one_partition_per_file(spark, tmp_path):
+    import shutil
+
+    d = tmp_path / "shpdir"
+    d.mkdir()
+    for name in ("a", "b"):
+        shutil.copy(f"{FIXDIR}/blockgroups.shp", d / f"{name}.shp")
+        shutil.copy(f"{FIXDIR}/blockgroups.dbf", d / f"{name}.dbf")
+    df = spark.read.format("shapefile").load(str(d))
+    assert df.count() == 2 * 663
+    assert df.rdd.getNumPartitions() == 2
+    assert df.select("src").distinct().count() == 2
+
+
+def test_bbox_option_prunes(spark):
+    full = spark.read.format("shapefile").load(f"{FIXDIR}/blockgroups.shp")
+    ext = full.agg(
+        F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
+    ).collect()[0]
+    midx = (ext[0] + ext[2]) / 2
+    midy = (ext[1] + ext[3]) / 2
+    boxed = (
+        spark.read.format("shapefile")
+        .option("bbox", f"{ext[0]},{ext[1]},{midx},{midy}")
+        .load(f"{FIXDIR}/blockgroups.shp")
+    )
+    n = boxed.count()
+    assert 0 < n < 663
+    # equals the Column-filter answer on the full scan (inclusive overlap)
+    want = full.where(
+        (F.col("xmin") <= midx) & (F.col("ymin") <= midy)
+    ).count()
+    assert n == want
+
+
+def test_fields_projection_option(spark):
+    df = (
+        spark.read.format("shapefile")
+        .option("fields", "POP1990")
+        .load(f"{FIXDIR}/blockgroups.shp")
+    )
+    attr_cols = [c for c in df.columns if c not in (
+        "src", "oid", "shape_type", "wkb", "xmin", "ymin", "xmax", "ymax",
+        "num_parts", "num_points", "z", "m", "part_types",
+    )]
+    assert attr_cols == ["POP1990"]
+    assert df.count() == 663
+
+
+def test_filter_pushdown_prunes_and_stays_exact(spark):
+    """With spark.sql.python.filterPushdown.enabled, bbox-column
+    comparisons reach the byte-level prune; results must equal the
+    unpushed plan exactly (Spark re-applies all filters)."""
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        full = spark.read.format("shapefile").load(f"{FIXDIR}/blockgroups.shp")
+        ext = full.agg(
+            F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")
+        ).collect()[0]
+        midx = (ext[0] + ext[2]) / 2
+        midy = (ext[1] + ext[3]) / 2
+        pred = (F.col("xmin") <= midx) & (F.col("ymin") <= midy)
+        pushed = (
+            spark.read.format("shapefile")
+            .load(f"{FIXDIR}/blockgroups.shp")
+            .where(pred)
+            .count()
+        )
+        want = full.where(pred).count()
+        assert pushed == want > 0
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
