@@ -26,6 +26,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
@@ -152,8 +153,145 @@ def _pushdown_enabled() -> bool:
         return False
 
 
+def _wkb_to_payload(wkb: bytes):
+    """WKB -> the single-node writer's shape payload (list of parts /
+    point tuple / point array)."""
+    import numpy as np  # noqa: PLC0415
+
+    from pyshp_spark.kernels.wkb import (  # noqa: PLC0415
+        WKB_LINESTRING,
+        WKB_MULTILINESTRING,
+        WKB_MULTIPOINT,
+        WKB_MULTIPOLYGON,
+        WKB_POINT,
+        WKB_POLYGON,
+        parse_wkb,
+    )
+
+    gtype, obj = parse_wkb(wkb)
+    if gtype == WKB_POINT:
+        a = np.asarray(obj, dtype=np.float64).reshape(-1, 2)
+        return (float(a[0, 0]), float(a[0, 1]))
+    if gtype == WKB_MULTIPOINT:
+        return np.asarray(obj, dtype=np.float64).reshape(-1, 2)
+    if gtype == WKB_LINESTRING:
+        return [np.asarray(obj, dtype=np.float64).reshape(-1, 2)]
+    if gtype == WKB_MULTILINESTRING:
+        return [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in obj]
+    if gtype == WKB_POLYGON:
+        return [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in obj]
+    if gtype == WKB_MULTIPOLYGON:
+        return [
+            np.asarray(r, dtype=np.float64).reshape(-1, 2)
+            for rings in obj
+            for r in rings
+        ]
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+_GEOM_COLS = {
+    "src", "oid", "shape_type", "wkb", "xmin", "ymin", "xmax", "ymax",
+    "num_parts", "num_points", "z", "m", "part_types",
+}
+
+
+def _dbf_spec_for(field) -> tuple[str, str, int, int]:
+    from pyspark.sql.types import (  # noqa: PLC0415
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    t = field.dataType
+    if isinstance(t, (LongType, IntegerType, ShortType)):
+        return (field.name, "N", 18, 0)
+    if isinstance(t, (DoubleType, FloatType)):
+        return (field.name, "N", 24, 8)
+    if isinstance(t, BooleanType):
+        return (field.name, "L", 1, 0)
+    if isinstance(t, DateType):
+        return (field.name, "D", 8, 0)
+    if isinstance(t, StringType):
+        return (field.name, "C", 80, 0)
+    raise ValueError(
+        f"column {field.name}: type {t} has no dbf encoding"
+    )
+
+
+class ShapefileWriter(DataSourceWriter):
+    """One .shp/.shx/.dbf set per non-empty partition (part-files, like
+    any distributed sink); commit is rename-free because file names are
+    task-unique, abort removes written files.  Requires ``shape_type``
+    and ``wkb`` columns; other primitive columns become dbf fields."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("shapefile writer requires a path")
+        names = {f.name for f in schema.fields}
+        if "shape_type" not in names or "wkb" not in names:
+            raise ValueError("shapefile writer needs shape_type and wkb columns")
+        self._schema = schema
+        self._attr_specs = [
+            _dbf_spec_for(f) for f in schema.fields if f.name not in _GEOM_COLS
+        ]
+        os.makedirs(self._path, exist_ok=True)
+        if overwrite:
+            for ext in ("shp", "shx", "dbf"):
+                for p in glob.glob(os.path.join(self._path, f"*.{ext}")):
+                    os.remove(p)
+
+    def write(self, iterator):
+        import uuid  # noqa: PLC0415
+
+        from pyspark.sql.datasource import WriterCommitMessage  # noqa: PLC0415
+
+        from pyshp_spark.sources.shp_writer import (  # noqa: PLC0415
+            write_dbf,
+            write_shp,
+        )
+
+        attr_names = [s[0] for s in self._attr_specs]
+        shapes, records = [], []
+        for row in iterator:
+            w = row["wkb"]
+            stype = int(row["shape_type"])
+            payload = _wkb_to_payload(bytes(w)) if w is not None else None
+            z = list(row["z"]) if "z" in row.__fields__ and row["z"] is not None else None
+            m = list(row["m"]) if "m" in row.__fields__ and row["m"] is not None else None
+            pt = (
+                list(row["part_types"])
+                if "part_types" in row.__fields__ and row["part_types"] is not None
+                else None
+            )
+            shapes.append((stype if payload is not None else 0, payload, z, m, pt))
+            records.append([row[n] for n in attr_names])
+        msg = WriterCommitMessage()
+        if not shapes:
+            return msg
+        shp, shx = write_shp(shapes)
+        dbf = write_dbf(self._attr_specs, records)
+        base = os.path.join(self._path, f"part-{uuid.uuid4().hex[:12]}")
+        for ext, data in (("shp", shp), ("shx", shx), ("dbf", dbf)):
+            with open(f"{base}.{ext}", "wb") as f:
+                f.write(data)
+        return msg
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        pass
+
+
 class ShapefileDataSource(DataSource):
-    """spark.read.format("shapefile").load(dir_or_shp)."""
+    """spark.read.format("shapefile").load(dir_or_shp) and
+    df.write.format("shapefile").save(dir)."""
 
     @classmethod
     def name(cls) -> str:
@@ -179,3 +317,6 @@ class ShapefileDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         cls = ShapefilePushdownReader if _pushdown_enabled() else ShapefileReader
         return cls(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return ShapefileWriter(self.options, schema, overwrite)

@@ -106,3 +106,49 @@ def test_filter_pushdown_prunes_and_stays_exact(spark):
         assert pushed == want > 0
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_write_roundtrip_through_both_readers(spark, tmp_path, ref_shapefile):
+    """df.write.format('shapefile') emits one part-shapefile set per
+    partition; reading back (our format reader AND the reference
+    reader) reproduces counts, bboxes and attributes."""
+    src = spark.read.format("shapefile").load(f"{FIXDIR}/blockgroups.shp")
+    keep = src.select(
+        "shape_type", "wkb", "z", "m", "part_types",
+        F.col("BKG_KEY"), F.col("POP1990"), F.col("HSE_UNITS"),
+    ).repartition(2)
+    out = str(tmp_path / "out_shp")
+    keep.write.format("shapefile").mode("overwrite").save(out)
+
+    back = spark.read.format("shapefile").load(out)
+    assert back.count() == 663
+    assert back.select("src").distinct().count() == 2  # one file per partition
+    a = src.agg(F.sum("POP1990"), F.sum("HSE_UNITS")).collect()[0]
+    b = back.agg(F.sum("POP1990"), F.sum("HSE_UNITS")).collect()[0]
+    assert tuple(a) == tuple(b)
+    # geometry survives: total vertex count and global extent
+    ga = src.agg(F.sum("num_points"), F.min("xmin"), F.max("xmax")).collect()[0]
+    gb = back.agg(F.sum("num_points"), F.min("xmin"), F.max("xmax")).collect()[0]
+    assert ga[0] == gb[0]
+    assert ga[1] == pytest.approx(gb[1]) and ga[2] == pytest.approx(gb[2])
+
+    # the REFERENCE reader opens every part file
+    import glob as g
+    total = 0
+    for p in sorted(g.glob(f"{out}/*.shp")):
+        r = ref_shapefile.Reader(p[:-4])
+        total += len(r)
+        rec = r.record(0)
+        assert isinstance(rec[0], str) and len(rec) == 3
+    assert total == 663
+
+
+def test_write_overwrite_replaces(spark, tmp_path):
+    src = spark.read.format("shapefile").load(f"{FIXDIR}/blockgroups.shp")
+    keep = src.select("shape_type", "wkb", "z", "m", "part_types",
+                      F.col("POP1990")).limit(10).coalesce(1)
+    out = str(tmp_path / "ow")
+    keep.write.format("shapefile").mode("overwrite").save(out)
+    keep.write.format("shapefile").mode("overwrite").save(out)
+    back = spark.read.format("shapefile").load(out)
+    assert back.count() == 10
