@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -320,3 +321,56 @@ class ShapefileDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return ShapefileWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return ShapefileStreamReader(self.options, schema)
+
+
+class ShapefileStreamReader(SimpleDataSourceStreamReader):
+    """Streaming landing-directory source:
+    ``spark.readStream.format("shapefile").load(dir)`` picks up each new
+    .shp (+ sibling .dbf) exactly once.  The offset is the seen-file log
+    — the same protocol as Spark's built-in FileStreamSource — so
+    restarts resume from the checkpoint without reprocessing.  The
+    simple (driver-side) reader variant is appropriate for a landing
+    dir's arrival rate; a partition-parallel ``streamReader`` is the
+    upgrade path for heavy backfills."""
+
+    def __init__(self, options, schema: StructType):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("shapefile stream source requires a path")
+        self._bbox = _parse_bbox_option(options.get("bbox"))
+        f = options.get("fields")
+        self._fields = [c.strip() for c in f.split(",")] if f else None
+        self._encoding = options.get("encoding", "utf-8")
+        self._schema = schema
+        self._cols = [fld.name for fld in schema.fields]
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def _rows_for(self, paths):
+        # a list_iterator (not a generator): the engine copies/pickles
+        # the prefetched batch into its offset cache, and generators
+        # cannot be pickled
+        rows = []
+        for p in paths:
+            pdf = _read_pair(p, self._bbox, self._fields, self._encoding)
+            rows.extend(tuple(r) for r in pdf[self._cols].itertuples(index=False))
+        return iter(rows)
+
+    def read(self, start):
+        seen = set(start.get("seen", []))
+        now = sorted(glob.glob(os.path.join(self._path, "*.shp")))
+        new = [p for p in now if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows_for(new), end
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start.get("seen", []))
+        target = [p for p in end.get("seen", []) if p not in seen]
+        return self._rows_for(sorted(target))
+
+    def commit(self, end):
+        pass

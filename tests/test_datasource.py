@@ -152,3 +152,34 @@ def test_write_overwrite_replaces(spark, tmp_path):
     keep.write.format("shapefile").mode("overwrite").save(out)
     back = spark.read.format("shapefile").load(out)
     assert back.count() == 10
+
+
+def test_stream_read_picks_up_new_files_once(spark, tmp_path):
+    """readStream.format('shapefile'): each arriving .shp is processed
+    exactly once across micro-batches (seen-file-log offsets)."""
+    import shutil
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy(f"{FIXDIR}/blockgroups.shp", d / "a.shp")
+    shutil.copy(f"{FIXDIR}/blockgroups.dbf", d / "a.dbf")
+    stream = spark.readStream.format("shapefile").load(str(d))
+    assert stream.isStreaming
+    out = stream.groupBy("src").count()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("shp_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = {r.src: r["count"] for r in spark.sql("SELECT * FROM shp_stream").collect()}
+        assert list(n1.values()) == [663]
+        shutil.copy(f"{FIXDIR}/blockgroups.shp", d / "b.shp")
+        shutil.copy(f"{FIXDIR}/blockgroups.dbf", d / "b.dbf")
+        q.processAllAvailable()
+        n2 = {r.src: r["count"] for r in spark.sql("SELECT * FROM shp_stream").collect()}
+        assert sorted(n2.values()) == [663, 663]  # a.shp NOT reprocessed
+    finally:
+        q.stop()
