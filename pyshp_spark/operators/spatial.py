@@ -179,6 +179,40 @@ def point_in_polygon_join(
     return _refine_pip(cand, x, y)
 
 
+_INDEX_CACHE: dict = {}
+_INDEX_CACHE_MAX = 4
+
+
+def _cached_polygon_index(polygons: DataFrame, grid: Grid,
+                          polygon_cols: list[str] | None):
+    """Session-scoped LRU over BroadcastPolygonIndex keyed by the
+    polygon plan's semantic hash: repeated joins against the same
+    dimension table (the steady-state workload shape) reuse the
+    already-built broadcast instead of re-collecting and re-parsing.
+    Evicted entries release their broadcast."""
+    try:
+        key = (
+            polygons.sparkSession.sparkContext.applicationId,
+            polygons._jdf.queryExecution().analyzed().semanticHash(),
+            grid,
+            tuple(polygon_cols) if polygon_cols is not None else None,
+        )
+    except Exception:
+        return BroadcastPolygonIndex(polygons, grid=grid, polygon_cols=polygon_cols)
+    idx = _INDEX_CACHE.pop(key, None)
+    if idx is None:
+        idx = BroadcastPolygonIndex(polygons, grid=grid, polygon_cols=polygon_cols)
+    _INDEX_CACHE[key] = idx  # re-insert = most recently used
+    while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+        oldest = next(iter(_INDEX_CACHE))
+        old = _INDEX_CACHE.pop(oldest)
+        try:
+            old.bc.unpersist()
+        except Exception:
+            pass
+    return idx
+
+
 class BroadcastPolygonIndex:
     """Build-once broadcast spatial index over a dimension-sized polygon
     set; probe many times with point DataFrames.
@@ -381,8 +415,8 @@ class BroadcastPolygonIndex:
 
 
 def _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols):
-    return BroadcastPolygonIndex(
-        polygons, grid=grid, polygon_cols=gcols
+    return _cached_polygon_index(
+        polygons, grid, gcols
     ).join_points(points, x=x, y=y, point_cols=pcols)
 
 
@@ -400,9 +434,9 @@ def spatial_semi_join(
     pcols = points.columns
     if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows) \
             and not salt_k:
-        return BroadcastPolygonIndex(
-            polygons, grid=grid, polygon_cols=[]
-        ).join_points(points, x=x, y=y, mode="semi")
+        return _cached_polygon_index(polygons, grid, []).join_points(
+            points, x=x, y=y, mode="semi"
+        )
     matched = point_in_polygon_join(
         points, polygons, x=x, y=y, grid=grid, polygon_cols=[],
         broadcast_polygons=False, salt_k=salt_k, **kw
@@ -424,9 +458,9 @@ def spatial_anti_join(
     pcols = points.columns
     if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows) \
             and not salt_k:
-        return BroadcastPolygonIndex(
-            polygons, grid=grid, polygon_cols=[]
-        ).join_points(points, x=x, y=y, mode="anti")
+        return _cached_polygon_index(polygons, grid, []).join_points(
+            points, x=x, y=y, mode="anti"
+        )
     matched = spatial_semi_join(
         points, polygons, x=x, y=y, grid=grid,
         broadcast_polygons=False, salt_k=salt_k, **kw
