@@ -183,13 +183,27 @@ _INDEX_CACHE: dict = {}
 _INDEX_CACHE_MAX = 4
 
 
+def clear_polygon_index_cache() -> None:
+    """Drop all cached broadcast polygon indexes (call after mutating
+    files underneath a path an index was built from — the cache keys on
+    the query PLAN, not the data)."""
+    while _INDEX_CACHE:
+        _, old = _INDEX_CACHE.popitem()
+        try:
+            old.bc.unpersist()
+        except Exception:
+            pass
+
+
 def _cached_polygon_index(polygons: DataFrame, grid: Grid,
                           polygon_cols: list[str] | None):
     """Session-scoped LRU over BroadcastPolygonIndex keyed by the
     polygon plan's semantic hash: repeated joins against the same
     dimension table (the steady-state workload shape) reuse the
     already-built broadcast instead of re-collecting and re-parsing.
-    Evicted entries release their broadcast."""
+    Evicted entries release their broadcast.  Keys are PLANS — if the
+    files underneath a read path are rewritten in place, call
+    :func:`clear_polygon_index_cache`."""
     try:
         key = (
             polygons.sparkSession.sparkContext.applicationId,
