@@ -395,3 +395,110 @@ def test_rewind_kernel(ref_shapefile):
     assert is_cw(ring) != is_cw(r2)
     want = ref_shapefile.rewind([tuple(p) for p in ring])
     assert [tuple(p) for p in r2] == want
+
+
+# ---------------------------------------- randomized plan-path parity ----
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_bbox_overlap_randomized_vs_brute(spark, seed):
+    """Responsibility-cell emission under adversarial inputs: touching
+    edges (integral coords -> exact float equality at boundaries),
+    degenerate zero-area boxes, heavy overlap."""
+    rng = np.random.default_rng(seed)
+    n_r, n_b = 60, 50
+    rx = rng.integers(0, 50, n_r).astype(float)
+    ry = rng.integers(0, 50, n_r).astype(float)
+    rects = pd.DataFrame({
+        "rid": range(n_r), "rxmin": rx, "rymin": ry,
+        "rxmax": rx + rng.integers(0, 30, n_r),   # zero-width allowed
+        "rymax": ry + rng.integers(0, 30, n_r),
+    })
+    bx = rng.integers(0, 50, n_b).astype(float)
+    by = rng.integers(0, 50, n_b).astype(float)
+    boxes = pd.DataFrame({
+        "bid": range(n_b), "xmin": bx, "ymin": by,
+        "xmax": bx + rng.integers(0, 35, n_b),
+        "ymax": by + rng.integers(0, 35, n_b),
+    })
+    grid = Grid(x0=0.0, y0=0.0, dx=7.0, dy=7.0, width=1 << 10)
+    out = bbox_overlap_join(
+        spark.createDataFrame(rects), spark.createDataFrame(boxes),
+        grid=grid, out_cols=["rid", "bid"],
+    )
+    got = sorted((r.rid, r.bid) for r in out.collect())
+    want = sorted(
+        (int(r.rid), int(b.bid))
+        for r in rects.itertuples()
+        for b in boxes.itertuples()
+        if r.rxmin <= b.xmax and b.xmin <= r.rxmax
+        and r.rymin <= b.ymax and b.ymin <= r.rymax
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_semi_anti_partition_randomized(spark, seed):
+    """semi + anti exactly partition the input rows (single-pass modes),
+    matching a brute python ray-cast oracle."""
+    from pyshp_spark.kernels.rings import points_in_rings_even_odd  # noqa: PLC0415
+    from pyshp_spark.kernels.wkb import wkb_polygon, wkb_rings  # noqa: PLC0415
+    from pyshp_spark.operators.spatial import spatial_semi_join  # noqa: PLC0415
+
+    rng = np.random.default_rng(seed)
+    polys = []
+    for oid in range(25):
+        cx, cy = rng.uniform(5, 95, 2)
+        r = rng.uniform(1, 8)
+        ring = np.array(
+            [[cx, cy + r], [cx + r, cy], [cx, cy - r], [cx - r, cy], [cx, cy + r]]
+        )
+        polys.append((oid, bytearray(wkb_polygon([ring])),
+                      float(cx - r), float(cy - r), float(cx + r), float(cy + r)))
+    pdf_pts = pd.DataFrame({
+        "pid": range(400),
+        "x": rng.uniform(0, 100, 400),
+        "y": rng.uniform(0, 100, 400),
+    })
+    poly_df = spark.createDataFrame(
+        polys, "oid long, wkb binary, xmin double, ymin double, xmax double, ymax double"
+    )
+    pts_df = spark.createDataFrame(pdf_pts)
+    grid = Grid(x0=0.0, y0=0.0, dx=5.0, dy=5.0, width=1 << 10)
+    semi = {r.pid for r in spatial_semi_join(pts_df, poly_df, grid=grid).collect()}
+    anti = {r.pid for r in spatial_anti_join(pts_df, poly_df, grid=grid).collect()}
+    assert semi | anti == set(range(400))
+    assert semi & anti == set()
+    # brute oracle
+    px = pdf_pts.x.to_numpy()
+    py = pdf_pts.y.to_numpy()
+    inside = np.zeros(400, dtype=bool)
+    for _, w, x0, y0, x1, y1 in polys:
+        bbox_ok = (x0 <= px) & (px <= x1) & (y0 <= py) & (py <= y1)
+        hit = points_in_rings_even_odd(wkb_rings(bytes(w)), px, py)
+        inside |= bbox_ok & hit
+    assert semi == set(pdf_pts.pid[inside])
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_knn_cell_path_randomized_equals_brute(spark, seed):
+    rng = np.random.default_rng(seed)
+    q = pd.DataFrame({
+        "query_id": range(30),
+        "x": rng.uniform(0, 100, 30),
+        "y": rng.uniform(0, 100, 30),
+    })
+    t = pd.DataFrame({
+        "tid": range(500),
+        "x": rng.uniform(0, 100, 500),
+        "y": rng.uniform(0, 100, 500),
+    })
+    grid = Grid(x0=0.0, y0=0.0, dx=6.25, dy=6.25, width=1 << 10)
+    qd, td = spark.createDataFrame(q), spark.createDataFrame(t)
+    got = knn_join(qd, td, k=4, grid=grid, target_cols=["tid", "x", "y"],
+                   tie_break="tid").collect()
+    want = knn_brute(qd, td, k=4, target_cols=["tid", "x", "y"],
+                     tie_break="tid").collect()
+    gset = {(r.query_id, r.tid, r.knn_rank) for r in got}
+    wset = {(r.query_id, r.tid, r.knn_rank) for r in want}
+    assert gset == wset
