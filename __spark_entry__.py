@@ -174,7 +174,8 @@ def _diamond_wkb(df: DataFrame) -> DataFrame:
         buf = np.empty((n, 13 + 80), dtype=np.uint8)
         buf[:, :13] = prefix
         buf[:, 13:] = coords.reshape(n, 10).view(np.uint8)
-        return pd.Series(list(buf.tobytes()[i * 93 : (i + 1) * 93] for i in range(n)))
+        raw = buf.tobytes()  # hoisted: ONE copy per batch, then sliced
+        return pd.Series([raw[i * 93 : (i + 1) * 93] for i in range(n)])
 
     return df.withColumn("wkb", mk(F.col("cx"), F.col("cy"), F.col("r")))
 

@@ -58,8 +58,14 @@ def token_jaccard_pairs(
     text: str = "text",
     threshold: float = 0.5,
     max_df: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with word-token-set Jaccard >= threshold.
+
+    ``checkpoint=True`` (default) materializes the pair-sized result
+    eagerly so the postings caches can be released; pass False to get
+    the lazy plan (e.g. for plan inspection) — the caches then stay
+    until session GC.
 
     Plan: distinct (doc, token) -> self equi-join on token (the
     blocking join; a token acts as an inverted-index posting) ->
@@ -119,9 +125,10 @@ def token_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     out = out.select("id_a", "id_b", "n_inter", "jaccard")
-    out = out.localCheckpoint(eager=True)
-    for c in cached:
-        c.unpersist()
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        for c in cached:
+            c.unpersist()
     return out
 
 
@@ -159,8 +166,9 @@ def shingles(text: str, width: int = 3) -> set[bytes]:
 
 def minhash_signature_py(text: str, num_perm: int = 64, width: int = 3,
                          seed: int = 1) -> np.ndarray:
-    """Single-doc oracle-side signature (crc32 base hash + affine perms
-    mod the Mersenne prime 2^61-1)."""
+    """Single-doc oracle-side signature (md5-prefix base hash, see
+    :func:`_hash64` + affine perms mod the Mersenne prime 2^61-1,
+    with numpy's uint64 wrap-around on the multiply-add)."""
     a, b = _minhash_params(num_perm, seed)
     sh = shingles(text, width)
     if not sh:
@@ -424,10 +432,17 @@ def simhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
     chunk_rows = []
     shift = 0
     for ci, w in enumerate(widths):
+        if w == 64:
+            # one full-width chunk (max_hamming=0): the unsigned value
+            # can exceed BIGINT — use the signed simhash directly
+            cv = "simhash"
+        else:
+            cv = (
+                f"CAST((us // {1 << shift}::HUGEINT)"
+                f" % {1 << w}::HUGEINT AS BIGINT)"
+            )
         chunk_rows.append(
-            f"SELECT {key}, simhash, {ci} AS chunk_idx, "
-            f"CAST((us // {1 << shift}::HUGEINT) % {1 << w}::HUGEINT AS BIGINT)"
-            f" AS cv FROM u"
+            f"SELECT {key}, simhash, {ci} AS chunk_idx, {cv} AS cv FROM u"
         )
         shift += w
     chunks = "\n            UNION ALL ".join(chunk_rows)

@@ -156,11 +156,16 @@ def point_in_polygon_join(
     gcols = polygon_cols or [
         c for c in polygons.columns if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
     ]
-    broadcast_polygons = _resolve_broadcast(
-        polygons, broadcast_polygons, max_broadcast_rows
-    )
-    if broadcast_polygons and not salt_k:
-        return _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols)
+    if not salt_k:
+        if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows):
+            return _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols)
+        broadcast_polygons = False  # probe said too big: sort-merge path
+    else:
+        # salted path: the probe only decides the broadcast HINT on the
+        # exploded build side
+        broadcast_polygons = _resolve_broadcast(
+            polygons, broadcast_polygons, max_broadcast_rows
+        )
     build = _polygons_with_cells(
         polygons.select("wkb", "xmin", "ymin", "xmax", "ymax", *gcols), grid, salt_k
     )
@@ -441,13 +446,17 @@ def spatial_semi_join(
 ) -> DataFrame:
     """Rows of ``points`` that fall inside at least one polygon.
 
-    On the broadcast path the answer comes from the SAME single refine
-    pass as the inner join (per-point match counts are a by-product) —
-    no pair explosion, no dedup shuffle.  The sort-merge fallback joins
-    pairs then dedups on the point columns."""
+    Row-level semantics on BOTH paths: every input row inside some
+    polygon appears exactly once (duplicate input rows preserved).  The
+    broadcast path answers from the SAME single refine pass as the
+    inner join (per-point match counts are a by-product) — no pair
+    explosion, no dedup shuffle.  The sort-merge fallback left_semi
+    joins the points against the distinct matched point-values, which
+    also preserves left multiplicity."""
     pcols = points.columns
-    if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows) \
-            and not salt_k:
+    if not salt_k and _resolve_broadcast(
+        polygons, broadcast_polygons, max_broadcast_rows
+    ):
         return _cached_polygon_index(polygons, grid, []).join_points(
             points, x=x, y=y, mode="semi"
         )
@@ -455,7 +464,8 @@ def spatial_semi_join(
         points, polygons, x=x, y=y, grid=grid, polygon_cols=[],
         broadcast_polygons=False, salt_k=salt_k, **kw
     )
-    return matched.select(*pcols).dropDuplicates(pcols)
+    matched_vals = matched.select(*pcols).dropDuplicates(pcols)
+    return points.join(matched_vals, on=pcols, how="left_semi")
 
 
 def spatial_anti_join(
@@ -465,21 +475,24 @@ def spatial_anti_join(
 ) -> DataFrame:
     """Rows of ``points`` outside every polygon.
 
+    Row-level semantics on BOTH paths (duplicate input rows preserved).
     Broadcast path: emitted directly from the single refine pass
     (``per_point == 0`` rows) — one scan, zero shuffles, no second PIP
-    pipeline.  Sort-merge fallback: semi join then left_anti on the
-    point's own columns."""
+    pipeline.  Sort-merge fallback: left_anti against the distinct
+    matched point-values."""
     pcols = points.columns
-    if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows) \
-            and not salt_k:
+    if not salt_k and _resolve_broadcast(
+        polygons, broadcast_polygons, max_broadcast_rows
+    ):
         return _cached_polygon_index(polygons, grid, []).join_points(
             points, x=x, y=y, mode="anti"
         )
-    matched = spatial_semi_join(
-        points, polygons, x=x, y=y, grid=grid,
+    matched = point_in_polygon_join(
+        points, polygons, x=x, y=y, grid=grid, polygon_cols=[],
         broadcast_polygons=False, salt_k=salt_k, **kw
     )
-    return points.join(matched, on=pcols, how="left_anti")
+    matched_vals = matched.select(*pcols).dropDuplicates(pcols)
+    return points.join(matched_vals, on=pcols, how="left_anti")
 
 
 def tile_assignment(

@@ -99,7 +99,10 @@ class ShapefileReader(DataSourceReader):
 
         pdf = _read_pair(partition.path, self._bbox, self._fields, self._encoding)
         arrow_schema = to_arrow_schema(self._schema)
-        pdf = pdf[[f.name for f in self._schema.fields]]
+        # reindex (not select): a file missing the inferred dbf columns
+        # (e.g. no sibling .dbf in a mixed directory) yields nulls there
+        # instead of crashing the partition
+        pdf = pdf.reindex(columns=[f.name for f in self._schema.fields])
         table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
         yield from table.to_batches()
 
@@ -224,13 +227,30 @@ def _dbf_spec_for(field) -> tuple[str, str, int, int]:
     )
 
 
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _ShpCommitMessage(WriterCommitMessage):
+    base: str | None = None
+
+
 class ShapefileWriter(DataSourceWriter):
     """One .shp/.shx/.dbf set per non-empty partition (part-files, like
-    any distributed sink); commit is rename-free because file names are
-    task-unique, abort removes written files.  Requires ``shape_type``
-    and ``wkb`` columns; other primitive columns become dbf fields."""
+    any distributed sink), written through a STAGING directory: tasks
+    write task-unique files under ``_staging-<job>/``; only files named
+    in the commit messages of SUCCESSFUL tasks move into the output on
+    commit (so failed/speculative retries leave no duplicates), the
+    previous output is replaced only inside commit (overwrite mode),
+    and abort removes the staging directory leaving the old output
+    intact.  Requires ``shape_type`` and ``wkb`` columns; other
+    primitive columns become dbf fields."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid  # noqa: PLC0415
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError("shapefile writer requires a path")
@@ -238,19 +258,17 @@ class ShapefileWriter(DataSourceWriter):
         if "shape_type" not in names or "wkb" not in names:
             raise ValueError("shapefile writer needs shape_type and wkb columns")
         self._schema = schema
+        self._overwrite = overwrite
         self._attr_specs = [
             _dbf_spec_for(f) for f in schema.fields if f.name not in _GEOM_COLS
         ]
-        os.makedirs(self._path, exist_ok=True)
-        if overwrite:
-            for ext in ("shp", "shx", "dbf"):
-                for p in glob.glob(os.path.join(self._path, f"*.{ext}")):
-                    os.remove(p)
+        self._staging = os.path.join(
+            self._path, f"_staging-{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(self._staging, exist_ok=True)
 
     def write(self, iterator):
         import uuid  # noqa: PLC0415
-
-        from pyspark.sql.datasource import WriterCommitMessage  # noqa: PLC0415
 
         from pyshp_spark.sources.shp_writer import (  # noqa: PLC0415
             write_dbf,
@@ -272,22 +290,38 @@ class ShapefileWriter(DataSourceWriter):
             )
             shapes.append((stype if payload is not None else 0, payload, z, m, pt))
             records.append([row[n] for n in attr_names])
-        msg = WriterCommitMessage()
         if not shapes:
-            return msg
+            return _ShpCommitMessage(base=None)
         shp, shx = write_shp(shapes)
         dbf = write_dbf(self._attr_specs, records)
-        base = os.path.join(self._path, f"part-{uuid.uuid4().hex[:12]}")
+        base = f"part-{uuid.uuid4().hex[:12]}"
         for ext, data in (("shp", shp), ("shx", shx), ("dbf", dbf)):
-            with open(f"{base}.{ext}", "wb") as f:
+            with open(os.path.join(self._staging, f"{base}.{ext}"), "wb") as f:
                 f.write(data)
-        return msg
+        return _ShpCommitMessage(base=base)
 
     def commit(self, messages):
-        pass
+        import shutil  # noqa: PLC0415
+
+        if self._overwrite:
+            for ext in ("shp", "shx", "dbf"):
+                for p in glob.glob(os.path.join(self._path, f"*.{ext}")):
+                    os.remove(p)
+        for m in messages:
+            base = getattr(m, "base", None)
+            if not base:
+                continue
+            for ext in ("shp", "shx", "dbf"):
+                os.replace(
+                    os.path.join(self._staging, f"{base}.{ext}"),
+                    os.path.join(self._path, f"{base}.{ext}"),
+                )
+        shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages):
-        pass
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(self._staging, ignore_errors=True)
 
 
 class ShapefileDataSource(DataSource):

@@ -559,8 +559,6 @@ def read_shapefile_urls(spark, urls: list[str], bbox=None, fields=None):
     THE EXECUTORS (the driver never touches the bytes) — the scale path
     for pulling many remote shapefiles into one DataFrame.  Schema is
     inferred from the first URL."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     if not urls:
         raise ValueError("no urls")
     sample = read_url_shapefile(urls[0], bbox=bbox, fields=fields)
@@ -578,9 +576,7 @@ def read_shapefile_urls(spark, urls: list[str], bbox=None, fields=None):
                 out.insert(0, "src", url)
                 yield out
 
-    return urls_df.mapInPandas(parse, schema=schema).withColumn(
-        "src", F.col("src")
-    )
+    return urls_df.mapInPandas(parse, schema=schema)
 
 
 def _pairs_in_dir(path: str) -> list[tuple[str, str | None]]:
@@ -600,8 +596,6 @@ def read_shapefiles(spark, path: str, bbox=None, fields=None):
     directly in columnar form.  Schema is inferred from the first file
     on the driver (headers only would suffice; cheap at these sizes).
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     pairs = (
         [(path, path[:-4] + ".dbf" if os.path.exists(path[:-4] + ".dbf") else None)]
         if path.endswith(".shp")
@@ -637,6 +631,4 @@ def read_shapefiles(spark, path: str, bbox=None, fields=None):
                 out.insert(0, "src", shp_path)
                 yield out
 
-    return paths_df.mapInPandas(parse, schema=schema).withColumn(
-        "src", F.col("src")
-    )
+    return paths_df.mapInPandas(parse, schema=schema)

@@ -57,9 +57,18 @@ def main():
         em.q_ann_cosine(spark, sf_dir)
     )
     sections["text_quality"] = fmt(em.q_text_quality(spark, sf_dir))
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from pyshp_spark.operators.dedup import token_jaccard_pairs  # noqa: E402
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") % 5) == 0
+    )
     sections["token_jaccard (df-capped postings)"] = fmt(
-        # the final localCheckpoint hides the plan; capture pre-checkpoint
-        _token_jaccard_plan(spark, sf_dir)
+        token_jaccard_pairs(
+            docs, threshold=0.6, max_df=em.TOKEN_JACCARD_MAX_DF,
+            checkpoint=False,  # the checkpoint would hide the plan
+        )
     )
 
     out = []
@@ -71,37 +80,6 @@ def main():
         f.write("\n".join(out))
     print(f"wrote {path}: {len(sections)} plans")
     spark.stop()
-
-
-def _token_jaccard_plan(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from pyshp_spark.operators.text import tokens_expr
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        (F.col("doc_id") % 5) == 0
-    )
-    toks = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(tokens_expr(F.col("text"))).alias("tok"),
-    ).distinct()
-    hot = (
-        toks.groupBy("tok").agg(F.count("*").alias("__df"))
-        .where(F.col("__df") > em.TOKEN_JACCARD_MAX_DF).select("tok")
-    )
-    toks = toks.join(F.broadcast(hot), on="tok", how="left_anti")
-    sizes = toks.groupBy("id").agg(F.count("*").alias("nset"))
-    a = toks.select(F.col("id").alias("id_a"), "tok")
-    b = toks.select(F.col("id").alias("id_b"), "tok")
-    inter = (
-        a.join(b, on="tok").where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nset", "na"), on="id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nset", "nb"), on="id_b")
-    )
 
 
 if __name__ == "__main__":

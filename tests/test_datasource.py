@@ -183,3 +183,23 @@ def test_stream_read_picks_up_new_files_once(spark, tmp_path):
         assert sorted(n2.values()) == [663, 663]  # a.shp NOT reprocessed
     finally:
         q.stop()
+
+
+def test_mixed_directory_missing_dbf_yields_nulls(spark, tmp_path):
+    """A directory mixing files with and without a sibling .dbf must not
+    crash: the dbf-less file's attribute columns are null."""
+    import shutil
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(f"{FIXDIR}/blockgroups.shp", d / "a.shp")
+    shutil.copy(f"{FIXDIR}/blockgroups.dbf", d / "a.dbf")
+    shutil.copy(f"{FIXDIR}/blockgroups.shp", d / "b.shp")  # no b.dbf
+    df = spark.read.format("shapefile").load(str(d))
+    assert df.count() == 2 * 663
+    per_src = (
+        df.groupBy("src").agg(F.count("POP1990").alias("n_attr")).collect()
+    )
+    counts = {r.src.split("/")[-1]: r.n_attr for r in per_src}
+    assert counts["a.shp"] == 663
+    assert counts["b.shp"] == 0  # nulls, not a crash
