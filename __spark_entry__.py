@@ -302,6 +302,10 @@ def q_spatial_anti(spark, sf_dir):
 
 
 def q_knn(spark, sf_dir):
+    # deliberately exercises the cell-expansion path (no brute_threshold):
+    # it is the 100x-safe plan AND empirically faster here than the
+    # broadcast crossJoin+window brute (5 s vs 40 s at sf0.1) — the gate
+    # then value-checks it against the SQL brute oracle
     q = _qpts(spark, sf_dir)
     t = _diamonds(spark, sf_dir).select("oid", F.col("cx").alias("x"), F.col("cy").alias("y"))
     out = knn_join(
