@@ -502,3 +502,21 @@ def test_knn_cell_path_randomized_equals_brute(spark, seed):
     gset = {(r.query_id, r.tid, r.knn_rank) for r in got}
     wset = {(r.query_id, r.tid, r.knn_rank) for r in want}
     assert gset == wset
+
+
+def test_polygon_index_cache_lru_eviction(spark):
+    import pyshp_spark.operators.spatial as sp
+
+    sp.clear_polygon_index_cache()
+    grid = Grid(x0=0.0, y0=0.0, dx=4.0, dy=4.0, width=1 << 10)
+    polys = _mini_polys(spark)
+    # distinct plans (limit(n) varies) -> distinct cache keys
+    for n in range(1, sp._INDEX_CACHE_MAX + 3):
+        sp._cached_polygon_index(polys.limit(n), grid, ["oid"])
+    assert len(sp._INDEX_CACHE) == sp._INDEX_CACHE_MAX
+    # re-requesting an entry keeps it cached (hit, no growth)
+    before = set(sp._INDEX_CACHE)
+    sp._cached_polygon_index(polys.limit(sp._INDEX_CACHE_MAX + 2), grid, ["oid"])
+    assert set(sp._INDEX_CACHE) == before
+    sp.clear_polygon_index_cache()
+    assert len(sp._INDEX_CACHE) == 0
