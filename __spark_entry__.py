@@ -14,10 +14,12 @@ Sketches are built on an md5-prefix base hash so even the MinHash/
 SimHash signature AND near-dup-pair pipelines have exact DuckDB mirrors
 (HUGEINT mod-2^64 arithmetic); the rolling-hash fingerprint mirrors as
 a Horner reduction over utf-8 bytes; the GeoJSON export string is
-assembled byte-for-byte in SQL.  Only the two ANN probes (lsh_ann,
-ivf_ann) are rows-only — their bucket membership rides on float paths
-SQL cannot reproduce bit-stably — and both carry exact pytest oracles
-(IVF's full-probe mode is tested equal to brute force).
+assembled byte-for-byte in SQL.  The two ANN probes (lsh_ann, ivf_ann)
+and the LSH-blocked embedding dedup use deterministic integer ±1
+hyperplanes / integer-dot coarse quantizers over floor(x*1000+0.5)-
+quantized embeddings, so bucket bits and list assignments are exact
+integer arithmetic with full DuckDB mirrors — every query in
+``queries()`` has a value-hash oracle.
 """
 
 from __future__ import annotations
@@ -51,7 +53,10 @@ from pyshp_spark.operators.dedup import (  # noqa: E402
 )
 from pyshp_spark.operators.similarity import (  # noqa: E402
     cosine_topk_brute,
+    embedding_dedup_sql,
+    ivf_ann_sql,
     ivf_topk,
+    lsh_ann_sql,
     lsh_topk,
 )
 from pyshp_spark.operators.spatial import (  # noqa: E402
@@ -250,7 +255,10 @@ def q_bbox_filter(spark, sf_dir):
 
 
 def q_cell_count(spark, sf_dir):
-    pts = _pts(spark, sf_dir)
+    # spread=False: a groupBy's map-side partial agg reduces rows before
+    # the (single, hash-partitioned) exchange — a round-robin repartition
+    # ahead of it is a second full shuffle for nothing
+    pts = _pts(spark, sf_dir, spread=False)
     return (
         pts.withColumn("cell", ENTRY_GRID.cell_expr(F.col("x"), F.col("y")))
         .groupBy("cell")
@@ -338,7 +346,8 @@ def q_count_extent(spark, sf_dir):
 
 
 def q_union_merge(spark, sf_dir):
-    a = _pts(spark, sf_dir).select("point_id", "x", "y").withColumn(
+    # spread=False: aggregation-shaped query, see q_cell_count
+    a = _pts(spark, sf_dir, spread=False).select("point_id", "x", "y").withColumn(
         "src", F.lit("lineitem")
     )
     b = _qpts(spark, sf_dir).select(
@@ -427,37 +436,22 @@ def q_ann_cosine(spark, sf_dir):
     return cosine_topk_brute(queries, emb, k=3)
 
 
+EMB_DIM = 64
+EMB_DEDUP_TAU = 0.15
+EMB_DEDUP_PLANES = 8
+
+
 def q_embedding_dedup(spark, sf_dir):
-    from pyshp_spark.operators.similarity import dot_expr, norm_expr  # noqa: PLC0415
+    # the SCALABLE variant is the entry: LSH-bucket blocking (integer
+    # ±1 planes, exactly SQL-mirrorable) instead of per-label all-pairs;
+    # the label-blocked exact path remains a pytest oracle
+    from pyshp_spark.operators.similarity import embedding_dedup_pairs  # noqa: PLC0415
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "__n", norm_expr(F.col("embedding"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup_pairs(
+        emb, tau=EMB_DEDUP_TAU, dim=EMB_DIM, n_planes=EMB_DEDUP_PLANES,
+        int_planes=True,
     )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("label"),
-        F.col("embedding").alias("__va"), F.col("__n").alias("__na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
-        F.col("embedding").alias("__vb"), F.col("__n").alias("__nb"),
-    )
-    return (
-        a.join(b, on="label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot_expr(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            ),
-        )
-        .where(F.col("cosine") >= 0.15)
-        .select("id_a", "id_b", "cosine")
-    )
-
-
-# rows-only queries (no SQL oracle; exact pytest oracles in tests/)
 
 
 def q_minhash_sig(spark, sf_dir):
@@ -477,21 +471,37 @@ def q_fingerprint(spark, sf_dir):
     return with_fingerprint(docs, text="text").select("doc_id", "fp64")
 
 
+LSH_ANN_PLANES = 6
+LSH_ANN_PROBE_BITS = 2
+IVF_ANN_CENTROIDS = 64
+IVF_ANN_PROBE = 8
+
+
 def q_lsh_ann(spark, sf_dir):
+    # integer ±1 hyperplanes over quantized embeddings: bucket bits are
+    # exact integer arithmetic, so the full query (bucketing, multi-probe
+    # candidates, cosine rerank) has a DuckDB hash oracle (lsh_ann_sql)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where((F.col("vec_id") % 50) == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = 64
-    return lsh_topk(queries, emb, k=3, dim=dim, n_planes=6, probe_bits=2)
+    return lsh_topk(
+        queries, emb, k=3, dim=EMB_DIM, n_planes=LSH_ANN_PLANES,
+        probe_bits=LSH_ANN_PROBE_BITS, int_planes=True,
+    )
 
 
 def q_ivf_ann(spark, sf_dir):
+    # quantize=1000: integer-dot coarse quantizer (exact SQL mirror of
+    # list assignment + probing via ivf_ann_sql); rerank unchanged
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where((F.col("vec_id") % 50) == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(queries, emb, k=3, n_centroids=64, n_probe=8)
+    return ivf_topk(
+        queries, emb, k=3, n_centroids=IVF_ANN_CENTROIDS, n_probe=IVF_ANN_PROBE,
+        quantize=1000,
+    )
 
 
 def q_geojson_export(spark, sf_dir):
@@ -752,15 +762,18 @@ def oracle_sql() -> dict[str, str]:
               ']]], "type": "Polygon"}}' AS geojson
             FROM d
         """,
-        "embedding_dedup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.label = b.label
-            WHERE a.vec_id < b.vec_id
-              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.15
-        """,
+        "embedding_dedup": embedding_dedup_sql(
+            "embeddings", tau=EMB_DEDUP_TAU, dim=EMB_DIM,
+            n_planes=EMB_DEDUP_PLANES,
+        ),
+        "lsh_ann": lsh_ann_sql(
+            "embeddings", "(vec_id % 50) = 0", k=3, dim=EMB_DIM,
+            n_planes=LSH_ANN_PLANES, probe_bits=LSH_ANN_PROBE_BITS,
+        ),
+        "ivf_ann": ivf_ann_sql(
+            "embeddings", "(vec_id % 50) = 0", k=3,
+            n_centroids=IVF_ANN_CENTROIDS, n_probe=IVF_ANN_PROBE,
+        ),
     }
 
 

@@ -91,15 +91,62 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 5):
-    """Sign-bit sketch of each embedding against seeded hyperplanes,
-    packed into an int64 bucket id; one Arrow batch = one matmul."""
-    planes = _hyperplanes(dim, n_planes, seed)
+# Knuth's 32-bit multiplicative-hash constant: bit 31 of (idx * C) mod
+# 2^32 is a well-mixed pseudo-random sign, and the identical expression
+# is exact BIGINT arithmetic in ANSI SQL — the whole point of the
+# integer-plane variant (see int_plane_signs)
+_SIGN_MULT = 2654435761
+
+
+def int_plane_signs(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: sign_{j,i} = -1 iff bit 31 of
+    ((j*dim + i) * 2654435761 mod 2^32) is set.  Pure integer math, so
+    a DuckDB oracle reproduces every bucket bit exactly (a Gaussian
+    plane's sign rides on float rounding SQL can't replay)."""
+    idx = np.arange(n_planes * dim, dtype=np.int64)
+    t = (idx * _SIGN_MULT) % (1 << 32)
+    return np.where(t >= (1 << 31), -1, 1).reshape(n_planes, dim)
+
+
+def _sign_sql(j: int, dim: int) -> str:
+    """SQL mirror of int_plane_signs for plane ``j``, lambda var ``i``."""
+    return (
+        f"(CASE WHEN (({j * dim} + i) * {_SIGN_MULT}) % 4294967296"
+        f" >= 2147483648 THEN -1 ELSE 1 END)"
+    )
+
+
+_QUANT_SQL = "list_transform(CAST({v} AS DOUBLE[]), x -> floor(x * {s} + 0.5))"
+
+
+def _quantize_np(m: np.ndarray, scale: int) -> np.ndarray:
+    """floor(x*scale + 0.5) in float64 — the exact same double ops as
+    the SQL mirror's floor(x*s + 0.5), so both sides see identical
+    integer-valued doubles (every later dot product is then exact:
+    |q| <= scale*|e|max keeps all products and sums far below 2^53)."""
+    return np.floor(m * float(scale) + 0.5)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 5,
+                   int_planes: bool = False, scale: int = 1000):
+    """Sign-bit sketch of each embedding packed into an int64 bucket id;
+    one Arrow batch = one matmul.
+
+    ``int_planes=False``: seeded Gaussian hyperplanes (classic SimHash
+    for angles).  ``int_planes=True``: deterministic ±1 planes over
+    integer-quantized embeddings — identical join topology, but bucket
+    bits become exact integer arithmetic with a DuckDB SQL mirror."""
+    if int_planes:
+        planes = int_plane_signs(dim, n_planes).astype(np.float64)
+    else:
+        planes = _hyperplanes(dim, n_planes, seed)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf(LongType())
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if int_planes:
+            m = _quantize_np(m, scale)
         bits = (m @ planes.T) >= 0
         return pd.Series((bits @ weights).astype(np.int64))
 
@@ -118,6 +165,8 @@ def lsh_topk(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    int_planes: bool = False,
+    scale: int = 1000,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH bucket equi-join + exact rerank.
 
@@ -125,8 +174,12 @@ def lsh_topk(
     <= probe_bits of their own bucket (multi-probe) — recall knob that
     costs a (n_planes choose probe_bits)-way explode on the small query
     side only.
+
+    ``int_planes=True`` switches bucketing to deterministic ±1 planes
+    over integer-quantized embeddings (same operator topology); the
+    whole query then has an exact DuckDB mirror — :func:`lsh_ann_sql`.
     """
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(dim, n_planes, seed, int_planes=int_planes, scale=scale)
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
@@ -178,6 +231,7 @@ def ivf_topk(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -187,6 +241,13 @@ def ivf_topk(
     Each corpus vector is assigned to its nearest centroid (one numpy
     matmul per Arrow batch); queries probe their ``n_probe`` nearest
     centroid lists and candidates get an exact cosine rerank.
+
+    ``quantize``: when set (e.g. 1000), the coarse quantizer uses
+    integer inner products over floor(x*quantize + 0.5)-quantized
+    vectors instead of normalized float cosines — same topology,
+    unchanged final rerank, but the list assignment and probe become
+    exact integer arithmetic mirrored by :func:`ivf_ann_sql` (ties go
+    to the lowest centroid index on both sides).
 
     Scale shape: the centroid matrix broadcasts (tiny), assignment is a
     single pass over the corpus, and the probe is a bucket equi-join —
@@ -201,25 +262,31 @@ def ivf_topk(
         .toPandas()
     )
     cent = np.vstack([np.asarray(v, dtype=np.float64) for v in cent_pdf["cv"]])
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    if quantize:
+        cent = _quantize_np(cent, quantize)
+    else:
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cent)
 
+    def _prep(vecs: pd.Series) -> np.ndarray:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if quantize:
+            return _quantize_np(m, quantize)
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
     @F.pandas_udf("long")
     def assign(vecs: pd.Series) -> pd.Series:
-        c = bc.value
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int64))
+        # np.argmax takes the FIRST max — lowest centroid index on ties,
+        # matching the oracle's ORDER BY dot DESC, cid ASC
+        return pd.Series(np.argmax(_prep(vecs) @ bc.value.T, axis=1).astype(np.int64))
 
     def probe_udf(n):
         @F.pandas_udf("array<long>")
         def probe(vecs: pd.Series) -> pd.Series:
-            c = bc.value
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = m @ c.T
-            idx = np.argsort(-sims, axis=1)[:, :n]
+            sims = _prep(vecs) @ bc.value.T
+            # stable sort keeps the lower centroid index first on ties
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
             return pd.Series(list(idx.astype(np.int64)))
 
         return probe
@@ -261,15 +328,19 @@ def embedding_dedup_pairs(
     vec: str = "embedding",
     n_planes: int = 8,
     seed: int = 5,
+    int_planes: bool = False,
+    scale: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine >= tau, LSH-blocked.
 
     With few planes (default 8) a cos>=tau pair collides with
     probability (1 - theta/pi)^8 — use more aggressive multi-probe or
     exact blocking for strict recall; exactness within a bucket is
-    guaranteed.
+    guaranteed.  ``int_planes=True`` uses the deterministic integer
+    ±1 planes so the blocked pair set has an exact DuckDB mirror
+    (:func:`embedding_dedup_sql`).
     """
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(dim, n_planes, seed, int_planes=int_planes, scale=scale)
     b = df.select(
         F.col(vec_id).alias("id"), F.col(vec).alias("__v"),
         norm_expr(F.col(vec)).alias("__n"),
@@ -298,3 +369,161 @@ def embedding_dedup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# -------------------------------------------- integer-plane SQL oracles ----
+#
+# DuckDB mirrors of the int_planes/quantize code paths above.  Every
+# bucket bit / list assignment is exact integer arithmetic on both
+# sides: quantized values are floor(x*scale + 0.5) over DOUBLE-cast
+# floats (identical IEEE ops in numpy and DuckDB) and all dot products
+# stay far below 2^53, so float64 sums are exact regardless of order.
+
+
+def _bucket_sql(dim: int, n_planes: int) -> str:
+    """Bucket id over a quantized DOUBLE[] column named ``q``."""
+    dots = [
+        f"list_sum(list_transform(range(0, {dim}), i -> {_sign_sql(j, dim)} * q[i+1]))"
+        for j in range(n_planes)
+    ]
+    return " + ".join(
+        f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dots)
+    )
+
+
+def lsh_ann_sql(
+    table: str,
+    query_pred: str,
+    k: int,
+    dim: int,
+    n_planes: int = 6,
+    probe_bits: int = 2,
+    scale: int = 1000,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB mirror of ``lsh_topk(..., int_planes=True)``.
+
+    Multi-probe over bit-flip neighbors == joining every (query, corpus)
+    pair whose buckets differ in <= probe_bits bits, so the candidate
+    set is exactly ``bit_count(xor(qb, cb)) <= probe_bits``."""
+    q = _QUANT_SQL.format(v=vec, s=scale)
+    return f"""
+        WITH e AS (
+            SELECT {vec_id} AS vec_id, CAST({vec} AS DOUBLE[]) AS v, {q} AS q
+            FROM {table}
+        ),
+        b AS (SELECT vec_id, v, ({_bucket_sql(dim, n_planes)}) AS bucket FROM e),
+        qs AS (
+            SELECT vec_id AS query_id, v AS qv, bucket AS qb
+            FROM b WHERE {query_pred}
+        ),
+        cand AS (
+            SELECT q.query_id, c.vec_id,
+                   round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+            FROM qs q JOIN b c ON bit_count(xor(q.qb, c.bucket)) <= {probe_bits}
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM cand
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def ivf_ann_sql(
+    table: str,
+    query_pred: str,
+    k: int,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    scale: int = 1000,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB mirror of ``ivf_topk(..., quantize=scale)``: centroids =
+    the n_centroids lowest-id vectors, integer-dot coarse quantizer with
+    lowest-centroid tie-break, n_probe probing, exact cosine rerank."""
+    q = _QUANT_SQL.format(v=vec, s=scale)
+    return f"""
+        WITH e AS (
+            SELECT {vec_id} AS vec_id, CAST({vec} AS DOUBLE[]) AS v, {q} AS q
+            FROM {table}
+        ),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+            FROM e ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.q, c.cq) DESC, c.cid
+                       ) AS rn
+                FROM e, cent c
+            ) WHERE rn = 1
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, v AS qv, q AS qq
+            FROM e WHERE {query_pred}
+        ),
+        probe AS (
+            SELECT query_id, cid FROM (
+                SELECT qs.query_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY qs.query_id
+                           ORDER BY list_dot_product(qs.qq, c.cq) DESC, c.cid
+                       ) AS rn
+                FROM qs, cent c
+            ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, a.vec_id
+            FROM probe p JOIN assign a ON a.cid = p.cid
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(list_cosine_similarity(qs.qv, e.v), 6) AS cosine
+            FROM cand
+            JOIN qs ON qs.query_id = cand.query_id
+            JOIN e ON e.vec_id = cand.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def embedding_dedup_sql(
+    table: str,
+    tau: float,
+    dim: int,
+    n_planes: int = 8,
+    scale: int = 1000,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> str:
+    """DuckDB mirror of ``embedding_dedup_pairs(..., int_planes=True)``:
+    pairs (a < b) sharing an integer-plane LSH bucket with cosine >= tau."""
+    q = _QUANT_SQL.format(v=vec, s=scale)
+    return f"""
+        WITH e AS (
+            SELECT {vec_id} AS vec_id, CAST({vec} AS DOUBLE[]) AS v, {q} AS q
+            FROM {table}
+        ),
+        b AS (SELECT vec_id, v, ({_bucket_sql(dim, n_planes)}) AS bucket FROM e)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket
+        WHERE a.vec_id < c.vec_id
+          AND round(list_cosine_similarity(a.v, c.v), 6) >= {tau}
+    """

@@ -330,3 +330,120 @@ class TestIvfAnn:
         bset = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in brute}
         fset = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in full}
         assert bset == fset
+
+
+class TestIntegerPlaneOracles:
+    """The int_planes / quantize variants exist so the driver gate can
+    hash-check lsh_ann / ivf_ann / embedding_dedup against DuckDB.
+    These tests pin (a) the SQL mirrors directly, (b) the degenerate
+    exactness properties that must survive quantization."""
+
+    @staticmethod
+    def _duck():
+        import duckdb  # noqa: PLC0415
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        )
+        return con
+
+    @staticmethod
+    def _rowset(rows, cols):
+        def canon(v):
+            return f"{v:.9g}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(canon(r[c]) for c in cols) for r in rows)
+
+    def test_lsh_ann_matches_sql_mirror(self, spark):
+        from pyshp_spark.operators.similarity import lsh_ann_sql, lsh_topk  # noqa: PLC0415
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where((F.col("vec_id") % 50) == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = lsh_topk(
+            queries, emb, k=3, dim=64, n_planes=6, probe_bits=2, int_planes=True
+        ).collect()
+        con = self._duck()
+        want = con.execute(
+            lsh_ann_sql("embeddings", "(vec_id % 50) = 0", k=3, dim=64,
+                        n_planes=6, probe_bits=2)
+        ).df().to_dict("records")
+        cols = ["query_id", "vec_id", "cosine", "rank"]
+        assert self._rowset([r.asDict() for r in got], cols) == self._rowset(want, cols)
+
+    def test_ivf_ann_matches_sql_mirror(self, spark):
+        from pyshp_spark.operators.similarity import ivf_ann_sql, ivf_topk  # noqa: PLC0415
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where((F.col("vec_id") % 50) == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = ivf_topk(
+            queries, emb, k=3, n_centroids=64, n_probe=8, quantize=1000
+        ).collect()
+        con = self._duck()
+        want = con.execute(
+            ivf_ann_sql("embeddings", "(vec_id % 50) = 0", k=3,
+                        n_centroids=64, n_probe=8)
+        ).df().to_dict("records")
+        cols = ["query_id", "vec_id", "cosine", "rank"]
+        assert self._rowset([r.asDict() for r in got], cols) == self._rowset(want, cols)
+
+    def test_embedding_dedup_matches_sql_mirror(self, spark):
+        from pyshp_spark.operators.similarity import (  # noqa: PLC0415
+            embedding_dedup_pairs,
+            embedding_dedup_sql,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = embedding_dedup_pairs(
+            emb, tau=0.15, dim=64, n_planes=8, int_planes=True
+        ).collect()
+        con = self._duck()
+        want = con.execute(
+            embedding_dedup_sql("embeddings", tau=0.15, dim=64, n_planes=8)
+        ).df().to_dict("records")
+        cols = ["id_a", "id_b", "cosine"]
+        assert self._rowset([r.asDict() for r in got], cols) == self._rowset(want, cols)
+
+    def test_int_ivf_full_probe_equals_brute(self, spark):
+        from pyshp_spark.operators.similarity import (  # noqa: PLC0415
+            cosine_topk_brute,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).limit(150)
+        pdf = emb.toPandas()
+        queries = spark.createDataFrame(
+            pdf.head(10)[["vec_id", "embedding"]]
+        ).withColumnRenamed("vec_id", "query_id")
+        corpus = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        brute = cosine_topk_brute(queries, corpus, k=4).collect()
+        # quantization changes WHICH lists vectors land in, never the
+        # rerank — probing every list is still exact search
+        full = ivf_topk(
+            queries, corpus, k=4, n_centroids=16, n_probe=16, quantize=1000
+        ).collect()
+        bset = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in brute}
+        fset = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in full}
+        assert bset == fset
+
+    def test_int_lsh_self_match(self, spark, emb_df):
+        pdf = emb_df.limit(200).toPandas()
+        dim = len(pdf.embedding.iloc[0])
+        queries = spark.createDataFrame(
+            pdf.head(15)[["vec_id", "embedding"]]
+        ).withColumnRenamed("vec_id", "query_id")
+        corpus = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        approx = lsh_topk(
+            queries, corpus, k=5, dim=dim, n_planes=6, probe_bits=2,
+            int_planes=True,
+        ).collect()
+        aset = {(r.query_id, r.vec_id) for r in approx}
+        # a vector always collides with itself (identical bucket)
+        assert all((q, q) in aset for q in pdf.head(15).vec_id)
