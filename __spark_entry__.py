@@ -10,8 +10,9 @@ kernel, while the SQL mirror is a pure inequality).  Coordinate offsets
 (0.25/0.1/0.5) guarantee no point ever lies on a polygon boundary or
 vertex ray, so ray-cast and inequality agree exactly.
 
-Sketches are built on an md5-prefix base hash so even the MinHash/
-SimHash signature AND near-dup-pair pipelines have exact DuckDB mirrors
+Sketches are built on a batch-vectorized polynomial base hash (Horner
+fold + xorshift64*-style finalizer) so even the MinHash/SimHash
+signature AND near-dup-pair pipelines have exact DuckDB mirrors
 (HUGEINT mod-2^64 arithmetic); the rolling-hash fingerprint mirrors as
 a Horner reduction over utf-8 bytes; the GeoJSON export string is
 assembled byte-for-byte in SQL.  The two ANN probes (lsh_ann, ivf_ann)

@@ -56,6 +56,11 @@ def workload_map():
         "q7_ann_cosine": em.q_ann_cosine,
         "q8_text_quality": em.q_text_quality,
         "q9_cell_count": em.q_cell_count,
+        # round-2 weak plans, now wall-clock-tracked round over round:
+        # q10 = full MinHash-LSH pair pipeline (de-amplified band join),
+        # q11 = LSH-blocked embedding near-dup (the scalable variant)
+        "q10_minhash_pairs": em.q_minhash_pairs,
+        "q11_embedding_dedup": em.q_embedding_dedup,
     }
 
 

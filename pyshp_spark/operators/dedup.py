@@ -20,8 +20,6 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -136,17 +134,105 @@ def token_jaccard_pairs(
 
 _MERSENNE = (1 << 61) - 1
 _U64 = 1 << 64
+_FP_BASE_I = 1099511628211  # FNV-ish polynomial base (same as text.fingerprint64)
+_FP_OFFSET_I = 14695981039346656037  # empty-input sentinel (FNV offset basis)
+_MIX_MULT = 2685821657736338717  # xorshift64* multiplier (< 2^62: HUGEINT-safe)
 
 
 def _hash64(b: bytes) -> int:
-    """Deterministic 64-bit base hash: the first 8 bytes of md5.
-    Chosen over crc32 because DuckDB computes the identical value
-    (('0x' || substr(md5(x),1,16))::UBIGINT), giving the sketches exact
-    SQL oracles."""
-    return int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+    """Deterministic 64-bit base hash: polynomial Horner over the bytes
+    (h = h*B + byte + 1 mod 2^64, the text.fingerprint64 recurrence)
+    followed by an xorshift64*-style finalizer so short inputs still
+    fill all 64 bits.  Replaced md5 in round 3: the Horner form
+    vectorizes across a whole Arrow batch in numpy (md5 was the one
+    per-item Python loop left on a 100 TB-relevant path) while DuckDB
+    still computes the identical value (list_reduce Horner + UBIGINT
+    xor/shift finalizer — see _hash64_sql/_finalize_ctes)."""
+    h = 0
+    for byte in b:
+        h = (h * _FP_BASE_I + byte + 1) % _U64
+    if not b:
+        h = _FP_OFFSET_I
+    h ^= h >> 33
+    h = (h * _MIX_MULT) % _U64
+    h ^= h >> 29
+    return h
 
 
-_HASH64_SQL = "('0x' || substr(md5({x}), 1, 16))::UBIGINT::HUGEINT"
+_HASH_CHUNK = 16384  # items per padded matrix (~2 MB at 16-byte items)
+
+
+def _hash64_np(items: list[bytes]) -> np.ndarray:
+    """Vectorized :func:`_hash64` over a batch of byte strings: scatter
+    each chunk into a padded (chunk, maxlen) byte matrix, then maxlen
+    fused numpy steps for the Horner fold and 5 for the finalizer — no
+    per-item hashing loop.  Work is chunked so every temporary stays
+    cache-resident: this host (like any oversubscribed node) is
+    DRAM-bandwidth-starved, and a single full-batch padded matrix would
+    run 10x slower than the same flops against L2."""
+    n = len(items)
+    out = np.empty(n, dtype=np.uint64)
+    base = np.uint64(_FP_BASE_I)
+    one = np.uint64(1)
+    for s in range(0, n, _HASH_CHUNK):
+        chunk = items[s : s + _HASH_CHUNK]
+        cn = len(chunk)
+        lens = np.fromiter((len(b) for b in chunk), dtype=np.int64, count=cn)
+        total = int(lens.sum())
+        h = np.zeros(cn, dtype=np.uint64)
+        if total:
+            max_len = int(lens.max())
+            flat = np.frombuffer(b"".join(chunk), dtype=np.uint8).astype(np.uint64)
+            buf = np.zeros((cn, max_len), dtype=np.uint64)
+            ends = np.cumsum(lens)
+            rows = np.repeat(np.arange(cn), lens)
+            cols = np.arange(total) - np.repeat(ends - lens, lens)
+            buf[rows, cols] = flat
+            for j in range(max_len):
+                h = np.where(j < lens, h * base + buf[:, j] + one, h)
+        h[lens == 0] = np.uint64(_FP_OFFSET_I)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_MIX_MULT)
+        h ^= h >> np.uint64(29)
+        out[s : s + cn] = h
+    return out
+
+
+def _hash64_sql(x: str) -> str:
+    """DuckDB mirror of the RAW Horner fold (pre-finalizer) of the
+    utf-8 bytes of VARCHAR expression ``x``; finalize with
+    :func:`_finalize_ctes`."""
+    bytes_ = (
+        f"list_transform(range(0, octet_length(encode({x}))), "
+        f"i -> (('0x' || substr(hex(encode({x})), 2*i+1, 2))::INTEGER)::HUGEINT)"
+    )
+    return (
+        f"CASE WHEN octet_length(encode({x})) = 0 THEN {_FP_OFFSET_I}::HUGEINT "
+        f"ELSE list_reduce(list_prepend(0::HUGEINT, {bytes_}), "
+        f"(acc, b) -> (acc * {_FP_BASE_I}::HUGEINT + b + 1::HUGEINT)"
+        f" % {_U64}::HUGEINT) END"
+    )
+
+
+def _finalize_ctes(key: str, src: str = "hv") -> str:
+    """CTE chain applying the xorshift64*-style finalizer to column
+    ``h0`` of CTE ``src`` (one row per (key, item)); yields
+    ``hf({key}, h)`` with h HUGEINT in [0, 2^64).  UBIGINT xor/shift
+    match numpy's uint64 exactly; the multiply runs in HUGEINT
+    (operands < 2^64 * 2^62 fit signed 128-bit)."""
+    return f"""hx1 AS (
+            SELECT {key}, xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) >> 33) AS h1
+            FROM {src}
+        ),
+        hx2 AS (
+            SELECT {key},
+                   CAST((h1::HUGEINT * {_MIX_MULT}::HUGEINT)
+                        % {_U64}::HUGEINT AS UBIGINT) AS h2
+            FROM hx1
+        ),
+        hf AS (
+            SELECT {key}, xor(h2, h2 >> 29)::HUGEINT AS h FROM hx2
+        )"""
 
 
 def _minhash_params(num_perm: int, seed: int = 1):
@@ -166,9 +252,9 @@ def shingles(text: str, width: int = 3) -> set[bytes]:
 
 def minhash_signature_py(text: str, num_perm: int = 64, width: int = 3,
                          seed: int = 1) -> np.ndarray:
-    """Single-doc oracle-side signature (md5-prefix base hash, see
-    :func:`_hash64` + affine perms mod the Mersenne prime 2^61-1,
-    with numpy's uint64 wrap-around on the multiply-add)."""
+    """Single-doc oracle-side signature (scalar :func:`_hash64` base
+    hash + affine perms mod the Mersenne prime 2^61-1, with numpy's
+    uint64 wrap-around on the multiply-add)."""
     a, b = _minhash_params(num_perm, seed)
     sh = shingles(text, width)
     if not sh:
@@ -178,21 +264,48 @@ def minhash_signature_py(text: str, num_perm: int = 64, width: int = 3,
     return vals.min(axis=0).astype(np.int64)
 
 
+def _doc_blocks(seg_starts: np.ndarray, seg_ends: np.ndarray, block: int):
+    """Yield (k, k2, lo, hi): runs of consecutive docs whose flattened
+    items [lo:hi) stay under ~``block`` rows, so the (rows, 64) affine/
+    bit temporaries stay cache-resident — materializing them at full
+    batch size is 10-15x slower on DRAM-bandwidth-bound hosts."""
+    k = 0
+    n = len(seg_starts)
+    while k < n:
+        k2 = int(np.searchsorted(seg_ends, seg_starts[k] + block, side="right"))
+        k2 = max(k2, k + 1)  # always take at least one doc
+        yield k, k2, int(seg_starts[k]), int(seg_ends[k2 - 1])
+        k = k2
+
+
+_SKETCH_BLOCK = 4096  # items per affine/vote block (x64 perms ~ 2 MB, L2-ish)
+
+
 def minhash_udf(num_perm: int = 64, width: int = 3, seed: int = 1):
+    """Signature UDF, vectorized across the WHOLE Arrow batch: all
+    shingles of all docs are hashed in one :func:`_hash64_np` call, and
+    the affine perms + per-doc minima run in cache-sized doc blocks
+    (``np.minimum.reduceat`` per block) — the only per-doc Python left
+    is the string shingling itself."""
     a, b = _minhash_params(num_perm, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = shingles(t, width)
-            if not sh:
-                out.append(np.zeros(num_perm, dtype=np.int64))
-                continue
-            base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
-            vals = (a[None, :] * base[:, None] + b[None, :]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        sets = [list(shingles(t, width)) for t in texts]
+        counts = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        out = np.zeros((len(sets), num_perm), dtype=np.int64)
+        if counts.sum():
+            base = _hash64_np([s for ss in sets for s in ss])
+            nz = np.flatnonzero(counts)
+            seg_starts = (np.cumsum(counts) - counts)[nz]
+            seg_ends = seg_starts + counts[nz]
+            m = np.uint64(_MERSENNE)
+            for k, k2, lo, hi in _doc_blocks(seg_starts, seg_ends, _SKETCH_BLOCK):
+                vals = (a[None, :] * base[lo:hi, None] + b[None, :]) % m
+                out[nz[k:k2]] = np.minimum.reduceat(
+                    vals, seg_starts[k:k2] - lo, axis=0
+                ).astype(np.int64)
+        return pd.Series(list(out))
 
     return sig
 
@@ -213,18 +326,22 @@ def minhash_dedup_pairs(
     signature slice matches.  Candidates are verified with the true
     token-shingle Jaccard (vectorized pandas UDF over the joined texts)
     so output has no false positives w.r.t. ``threshold``.
+
+    Shuffle shape: the band explode and equi-join carry ONLY
+    (id, band, band_sig) — never the document text.  Texts are attached
+    to the (far smaller, deduped) candidate-pair set by two joins
+    against the source table just before the verify UDF; at corpus
+    scale the band exchange is signature-sized instead of 16 copies of
+    every document.
     """
     rows_per_band = num_perm // bands
     sig = minhash_udf(num_perm, width, seed)
-    with_sig = df.select(
-        F.col(key).alias("id"), F.col(text).alias("__txt"), sig(F.col(text)).alias("__sig")
-    )
+    with_sig = df.select(F.col(key).alias("id"), sig(F.col(text)).alias("__sig"))
     # join directly on the band's signature slice (arrays are hashable
     # join keys): no 32-bit band-hash collisions, and the candidate set
     # is exactly SQL-mirrorable (see minhash_pairs_sql)
     banded = with_sig.select(
         "id",
-        "__txt",
         F.posexplode(
             F.array(
                 *[
@@ -235,17 +352,28 @@ def minhash_dedup_pairs(
         ).alias("band", "band_sig"),
     )
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("__txt").alias("__txt_a"), "band", "band_sig"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("__txt").alias("__txt_b"), "band", "band_sig"
-    )
-    cand = (
+    left = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
+    right = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
+    pair_ids = (
         left.join(right, on=["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__txt_a", "__txt_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = df.select(F.col(key).alias("__tid"), F.col(text).alias("__t"))
+    cand = (
+        pair_ids.join(
+            texts.select(
+                F.col("__tid").alias("id_a"), F.col("__t").alias("__txt_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            texts.select(
+                F.col("__tid").alias("id_b"), F.col("__t").alias("__txt_b")
+            ),
+            on="id_b",
+        )
     )
 
     @F.pandas_udf("double")
@@ -275,7 +403,7 @@ def minhash_sig0_sql(table: str, key: str = "doc_id", text: str = "text",
     wrap-around is reproduced with explicit mod-2^64 steps)."""
     a, b = _minhash_params(num_perm, seed)
     a0, b0 = int(a[0]), int(b[0])
-    h = _HASH64_SQL.format(x="s.sh")
+    h0 = _hash64_sql("s.sh")
     return f"""
         WITH tk AS (
             SELECT {key}, list_filter(regexp_split_to_array(lower({text}), '\\s+'),
@@ -292,14 +420,15 @@ def minhash_sig0_sql(table: str, key: str = "doc_id", text: str = "text",
             FROM tk
         ),
         hv AS (
-            SELECT {key}, {h} AS h
+            SELECT {key}, {h0} AS h0
             FROM sh, unnest(shingles) AS s(sh)
         ),
+        {_finalize_ctes(key)},
         sig AS (
             SELECT {key},
                 min((({a0}::HUGEINT * h) % {_U64}::HUGEINT + {b0}::HUGEINT)
                     % {_U64}::HUGEINT % {_MERSENNE}::HUGEINT) AS sig0
-            FROM hv GROUP BY {key}
+            FROM hf GROUP BY {key}
         )
         SELECT t.{key}, CAST(COALESCE(s.sig0, 0) AS BIGINT) AS sig0
         FROM tk t LEFT JOIN sig s USING ({key})
@@ -318,7 +447,7 @@ def minhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
     0 < threshold)."""
     a, b = _minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
-    h = _HASH64_SQL.format(x="s.sh")
+    h0 = _hash64_sql("s.sh")
     mins = ",\n                ".join(
         f"CAST(min((({int(a[i])}::HUGEINT * h) % {_U64}::HUGEINT"
         f" + {int(b[i])}::HUGEINT) % {_U64}::HUGEINT"
@@ -349,13 +478,14 @@ def minhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
             FROM tk
         ),
         hv AS (
-            SELECT {key}, {h} AS h
+            SELECT {key}, {h0} AS h0
             FROM sh, unnest(shingles) AS s(sh)
         ),
+        {_finalize_ctes(key)},
         sig AS (
             SELECT {key},
                 {mins}
-            FROM hv GROUP BY {key}
+            FROM hf GROUP BY {key}
         ),
         bands AS (
             {band_rows}
@@ -385,7 +515,7 @@ def simhash_sql(table: str, key: str = "doc_id", text: str = "text") -> str:
     """DuckDB query computing the 64-bit simhash for every row of
     ``table`` — exact mirror of ``simhash_udf()`` (majority bit votes
     over the token multiset, signed-int64 mapping)."""
-    h = _HASH64_SQL.format(x="t.tk")
+    h0 = _hash64_sql("t.tk")
     votes = ",\n                ".join(
         f"sum(((h // {1 << j}::HUGEINT) % 2)::BIGINT) AS b{j}" for j in range(64)
     )
@@ -399,14 +529,15 @@ def simhash_sql(table: str, key: str = "doc_id", text: str = "text") -> str:
                                       x -> x <> '') AS tks
             FROM {table}
         ),
-        tok AS (
-            SELECT {key}, {h} AS h
+        hv AS (
+            SELECT {key}, {h0} AS h0
             FROM tk, unnest(tks) AS t(tk)
         ),
+        {_finalize_ctes(key)},
         votes AS (
             SELECT {key}, count(*) AS n,
                 {votes}
-            FROM tok GROUP BY {key}
+            FROM hf GROUP BY {key}
         ),
         packed AS (
             SELECT {key}, ({packed}) AS raw FROM votes
@@ -512,9 +643,35 @@ def simhash64_py(text: str) -> int:
 
 
 def simhash_udf():
+    """SimHash UDF, vectorized across the WHOLE Arrow batch: all tokens
+    of all docs hashed in one :func:`_hash64_np` call, per-doc bit
+    votes via ``np.add.reduceat`` over cache-sized doc blocks."""
+    shifts = np.arange(64, dtype=np.uint64)
+
     @F.pandas_udf(LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([simhash64_py(t) for t in texts], dtype=np.int64)
+        tok_lists = [
+            ("" if t is None else t).lower().split() for t in texts
+        ]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        out = np.zeros(len(tok_lists), dtype=np.uint64)
+        if counts.sum():
+            h64 = _hash64_np(
+                [t.encode() for ts in tok_lists for t in ts]
+            )
+            nz = np.flatnonzero(counts)
+            seg_starts = (np.cumsum(counts) - counts)[nz]
+            seg_ends = seg_starts + counts[nz]
+            for k, k2, lo, hi in _doc_blocks(seg_starts, seg_ends, _SKETCH_BLOCK):
+                bits = ((h64[lo:hi, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = np.add.reduceat(bits, seg_starts[k:k2] - lo, axis=0)
+                v = (votes * 2 >= counts[nz[k:k2], None]).astype(np.uint64)
+                out[nz[k:k2]] = (v << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(out.view(np.int64))
 
     return sh
 

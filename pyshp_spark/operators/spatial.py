@@ -112,16 +112,37 @@ def _refine_pip(df: DataFrame, x: str, y: str, keep_wkb: bool = False) -> DataFr
 
 
 def _resolve_broadcast(
-    polygons: DataFrame, broadcast_polygons, max_broadcast_rows: int
+    polygons: DataFrame,
+    broadcast_polygons,
+    max_broadcast_rows: int,
+    max_broadcast_bytes: int = 1_500_000_000,
 ) -> bool:
     """"auto" probes the build side with a LIMIT-bounded count (scans at
     most max_broadcast_rows+1 rows, so cheap even on a huge table) and
-    falls back to the shuffle path when it is too big to broadcast."""
-    if broadcast_polygons == "auto":
-        return (
-            polygons.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
-        )
-    return bool(broadcast_polygons)
+    falls back to the shuffle path when it is too big to broadcast.
+
+    The guard is byte-aware, not just row-count-aware: a few million
+    rows of small diamonds broadcast fine, but the same row count of
+    large multipart WKB would OOM the driver toPandas — so when the
+    row probe passes, a LIMIT-bounded sample of WKB lengths estimates
+    build-side bytes and anything past ``max_broadcast_bytes`` takes
+    the sort-merge path regardless of row count."""
+    if broadcast_polygons != "auto":
+        return bool(broadcast_polygons)
+    n = polygons.limit(max_broadcast_rows + 1).count()
+    if n > max_broadcast_rows:
+        return False
+    if n and "wkb" in polygons.columns:
+        avg_wkb = (
+            polygons.select(F.length("wkb").alias("__l"))
+            .limit(4096)
+            .agg(F.avg("__l"))
+            .first()[0]
+        ) or 0.0
+        # 96 B/row slack for the bbox doubles + id attrs + pandas overhead
+        if n * (avg_wkb + 96.0) > max_broadcast_bytes:
+            return False
+    return True
 
 
 def point_in_polygon_join(
@@ -135,6 +156,7 @@ def point_in_polygon_join(
     point_cols: list[str] | None = None,
     polygon_cols: list[str] | None = None,
     max_broadcast_rows: int = 4_000_000,
+    max_broadcast_bytes: int = 1_500_000_000,
 ) -> DataFrame:
     """Inner join: each point row paired with every polygon containing it.
 
@@ -157,14 +179,16 @@ def point_in_polygon_join(
         c for c in polygons.columns if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
     ]
     if not salt_k:
-        if _resolve_broadcast(polygons, broadcast_polygons, max_broadcast_rows):
+        if _resolve_broadcast(
+            polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
+        ):
             return _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols)
         broadcast_polygons = False  # probe said too big: sort-merge path
     else:
         # salted path: the probe only decides the broadcast HINT on the
         # exploded build side
         broadcast_polygons = _resolve_broadcast(
-            polygons, broadcast_polygons, max_broadcast_rows
+            polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
         )
     build = _polygons_with_cells(
         polygons.select("wkb", "xmin", "ymin", "xmax", "ymax", *gcols), grid, salt_k
@@ -442,7 +466,8 @@ def _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols):
 def spatial_semi_join(
     points, polygons, x="x", y="y", grid=GRID,
     broadcast_polygons: bool | str = "auto", salt_k: int | None = None,
-    max_broadcast_rows: int = 4_000_000, **kw,
+    max_broadcast_rows: int = 4_000_000,
+    max_broadcast_bytes: int = 1_500_000_000, **kw,
 ) -> DataFrame:
     """Rows of ``points`` that fall inside at least one polygon.
 
@@ -451,11 +476,13 @@ def spatial_semi_join(
     broadcast path answers from the SAME single refine pass as the
     inner join (per-point match counts are a by-product) — no pair
     explosion, no dedup shuffle.  The sort-merge fallback left_semi
-    joins the points against the distinct matched point-values, which
-    also preserves left multiplicity."""
+    joins the points against the distinct matched point-values with
+    null-safe equality (a row carrying a NULL in a non-coordinate
+    column must still match its own matched tuple), which also
+    preserves left multiplicity."""
     pcols = points.columns
     if not salt_k and _resolve_broadcast(
-        polygons, broadcast_polygons, max_broadcast_rows
+        polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
     ):
         return _cached_polygon_index(polygons, grid, []).join_points(
             points, x=x, y=y, mode="semi"
@@ -465,13 +492,27 @@ def spatial_semi_join(
         broadcast_polygons=False, salt_k=salt_k, **kw
     )
     matched_vals = matched.select(*pcols).dropDuplicates(pcols)
-    return points.join(matched_vals, on=pcols, how="left_semi")
+    return points.join(
+        matched_vals, on=_null_safe_cond(points, matched_vals, pcols),
+        how="left_semi",
+    )
+
+
+def _null_safe_cond(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
+    """Null-safe (<=>) equality over ``cols`` — plain column equality
+    silently drops rows with a NULL in ANY joined column, diverging
+    from dropDuplicates' group-by semantics (which treat NULLs equal)."""
+    cond = left[cols[0]].eqNullSafe(right[cols[0]])
+    for c in cols[1:]:
+        cond = cond & left[c].eqNullSafe(right[c])
+    return cond
 
 
 def spatial_anti_join(
     points, polygons, x="x", y="y", grid=GRID,
     broadcast_polygons: bool | str = "auto", salt_k: int | None = None,
-    max_broadcast_rows: int = 4_000_000, **kw,
+    max_broadcast_rows: int = 4_000_000,
+    max_broadcast_bytes: int = 1_500_000_000, **kw,
 ) -> DataFrame:
     """Rows of ``points`` outside every polygon.
 
@@ -479,10 +520,11 @@ def spatial_anti_join(
     Broadcast path: emitted directly from the single refine pass
     (``per_point == 0`` rows) — one scan, zero shuffles, no second PIP
     pipeline.  Sort-merge fallback: left_anti against the distinct
-    matched point-values."""
+    matched point-values with null-safe equality (plain equality would
+    wrongly KEEP a matched row whose non-coordinate column is NULL)."""
     pcols = points.columns
     if not salt_k and _resolve_broadcast(
-        polygons, broadcast_polygons, max_broadcast_rows
+        polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
     ):
         return _cached_polygon_index(polygons, grid, []).join_points(
             points, x=x, y=y, mode="anti"
@@ -492,7 +534,10 @@ def spatial_anti_join(
         broadcast_polygons=False, salt_k=salt_k, **kw
     )
     matched_vals = matched.select(*pcols).dropDuplicates(pcols)
-    return points.join(matched_vals, on=pcols, how="left_anti")
+    return points.join(
+        matched_vals, on=_null_safe_cond(points, matched_vals, pcols),
+        how="left_anti",
+    )
 
 
 def tile_assignment(

@@ -26,6 +26,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -55,7 +56,7 @@ def _parse_bbox_option(s: str | None):
     return tuple(vals)
 
 
-def _read_pair(shp_path: str, bbox, fields, encoding):
+def _read_pair(shp_path: str, bbox, fields, encoding, encoding_errors="strict"):
     from pyshp_spark.sources.shapefile import (  # noqa: PLC0415
         parse_dbf_bytes,
         parse_shp_bytes,
@@ -68,15 +69,69 @@ def _read_pair(shp_path: str, bbox, fields, encoding):
     if os.path.exists(dbf_path):
         with open(dbf_path, "rb") as f:
             dbf = f.read()
-        attrs = parse_dbf_bytes(dbf, fields=fields, encoding=encoding)
+        attrs = parse_dbf_bytes(
+            dbf, fields=fields, encoding=encoding, encoding_errors=encoding_errors
+        )
         geoms = geoms.merge(attrs, on="oid", how="inner", sort=True)
     geoms.insert(0, "src", shp_path)
     return geoms
 
 
+def _encoding_errors_option(options) -> str:
+    """The reference reader exposes an ``encodingErrors`` mode passed
+    straight to bytes.decode (reference sf.py:493-517, default strict);
+    mirror it as a data source option (both spellings accepted)."""
+    return options.get("encodingErrors", options.get("encoding_errors", "strict"))
+
+
+def _dbf_field_specs(shp_path: str) -> list[tuple[str, str, int]]:
+    """(name, type, decimal) descriptors from the sibling .dbf's header
+    (header-only read: 32 B/field descriptor, no record parsing)."""
+    import struct  # noqa: PLC0415
+
+    dbf_path = shp_path[:-4] + ".dbf"
+    if not os.path.exists(dbf_path):
+        return []
+    with open(dbf_path, "rb") as f:
+        head = f.read(32)
+        if len(head) < 32:
+            return []
+        header_len = struct.unpack_from("<H", head, 8)[0]
+        rest = f.read(max(header_len - 32, 0))
+    specs = []
+    off = 0
+    while off < len(rest) and rest[off : off + 1] != b"\x0d":
+        raw = rest[off : off + 32]
+        name = raw[:11].split(b"\x00", 1)[0].decode("ascii", "replace")
+        specs.append((name, chr(raw[11]) if len(raw) > 11 else "C", raw[17]))
+        off += 32
+    return specs
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _to_arrow_table(pdf, schema: StructType):
+    """pandas -> Arrow against the inferred schema, tolerating per-file
+    dtype drift: a reindexed missing column arrives as all-NaN float64
+    even when the schema says list/string — coerce to object so the
+    cast goes value-wise (None -> null) instead of failing in the
+    NumPyConverter."""
+    import pyarrow as pa  # noqa: PLC0415
+    from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
+
+    arrow_schema = to_arrow_schema(schema)
+    pdf = pdf.reindex(columns=[f.name for f in schema.fields])
+    for fld in arrow_schema:
+        if (
+            (pa.types.is_nested(fld.type) or pa.types.is_string(fld.type))
+            and pdf[fld.name].dtype != object
+        ):
+            col = pdf[fld.name].astype(object)
+            pdf[fld.name] = col.where(col.notna(), None)
+    return pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
 
 
 class ShapefileReader(DataSourceReader):
@@ -88,23 +143,21 @@ class ShapefileReader(DataSourceReader):
         f = options.get("fields")
         self._fields = [c.strip() for c in f.split(",")] if f else None
         self._encoding = options.get("encoding", "utf-8")
+        self._encoding_errors = _encoding_errors_option(options)
         self._schema = schema
 
     def partitions(self):
         return [_FilePartition(p) for p in _paths(self._path)]
 
     def read(self, partition):
-        import pyarrow as pa  # noqa: PLC0415
-        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
-
-        pdf = _read_pair(partition.path, self._bbox, self._fields, self._encoding)
-        arrow_schema = to_arrow_schema(self._schema)
-        # reindex (not select): a file missing the inferred dbf columns
-        # (e.g. no sibling .dbf in a mixed directory) yields nulls there
-        # instead of crashing the partition
-        pdf = pdf.reindex(columns=[f.name for f in self._schema.fields])
-        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
-        yield from table.to_batches()
+        pdf = _read_pair(
+            partition.path, self._bbox, self._fields, self._encoding,
+            self._encoding_errors,
+        )
+        # reindex (not select, inside _to_arrow_table): a file missing
+        # the inferred dbf columns (e.g. no sibling .dbf in a mixed
+        # directory) yields nulls there instead of crashing the task
+        yield from _to_arrow_table(pdf, self._schema).to_batches()
 
 
 class ShapefilePushdownReader(ShapefileReader):
@@ -235,22 +288,27 @@ from pyspark.sql.datasource import WriterCommitMessage  # noqa: E402
 @dataclass
 class _ShpCommitMessage(WriterCommitMessage):
     base: str | None = None
+    shp: bytes | None = None
+    shx: bytes | None = None
+    dbf: bytes | None = None
 
 
 class ShapefileWriter(DataSourceWriter):
     """One .shp/.shx/.dbf set per non-empty partition (part-files, like
-    any distributed sink), written through a STAGING directory: tasks
-    write task-unique files under ``_staging-<job>/``; only files named
-    in the commit messages of SUCCESSFUL tasks move into the output on
-    commit (so failed/speculative retries leave no duplicates), the
-    previous output is replaced only inside commit (overwrite mode),
-    and abort removes the staging directory leaving the old output
-    intact.  Requires ``shape_type`` and ``wkb`` columns; other
-    primitive columns become dbf fields."""
+    any distributed sink).  Tasks serialize their partition into
+    in-memory .shp/.shx/.dbf byte buffers and ship them back through
+    the WriterCommitMessage; only the DRIVER touches the output
+    directory, inside ``commit()`` — so the sink is correct with no
+    shared-filesystem assumption (executors on any cluster), failed or
+    speculative task attempts leave nothing behind, overwrite replaces
+    the previous output atomically-per-job, and ``abort()`` has nothing
+    to clean.  Byte-shipping is the right trade for this format: a
+    shapefile is capped at 4 GB and real outputs are dimension-sized;
+    petabyte-scale results belong in the parquet/Iceberg engine sink
+    (plans/lineage.py), not a .shp.  Requires ``shape_type`` and
+    ``wkb`` columns; other primitive columns become dbf fields."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        import uuid  # noqa: PLC0415
-
         self._path = options.get("path")
         if not self._path:
             raise ValueError("shapefile writer requires a path")
@@ -259,13 +317,12 @@ class ShapefileWriter(DataSourceWriter):
             raise ValueError("shapefile writer needs shape_type and wkb columns")
         self._schema = schema
         self._overwrite = overwrite
+        # reference Writer(strict=) data-loss mode (sf.py:234-239):
+        # strict raises DbfStringDataLoss on truncation, default warns
+        self._strict = options.get("strict", "false").lower() == "true"
         self._attr_specs = [
             _dbf_spec_for(f) for f in schema.fields if f.name not in _GEOM_COLS
         ]
-        self._staging = os.path.join(
-            self._path, f"_staging-{uuid.uuid4().hex[:12]}"
-        )
-        os.makedirs(self._staging, exist_ok=True)
 
     def write(self, iterator):
         import uuid  # noqa: PLC0415
@@ -291,18 +348,15 @@ class ShapefileWriter(DataSourceWriter):
             shapes.append((stype if payload is not None else 0, payload, z, m, pt))
             records.append([row[n] for n in attr_names])
         if not shapes:
-            return _ShpCommitMessage(base=None)
+            return _ShpCommitMessage()
         shp, shx = write_shp(shapes)
-        dbf = write_dbf(self._attr_specs, records)
-        base = f"part-{uuid.uuid4().hex[:12]}"
-        for ext, data in (("shp", shp), ("shx", shx), ("dbf", dbf)):
-            with open(os.path.join(self._staging, f"{base}.{ext}"), "wb") as f:
-                f.write(data)
-        return _ShpCommitMessage(base=base)
+        dbf = write_dbf(self._attr_specs, records, strict=self._strict)
+        return _ShpCommitMessage(
+            base=f"part-{uuid.uuid4().hex[:12]}", shp=shp, shx=shx, dbf=dbf
+        )
 
     def commit(self, messages):
-        import shutil  # noqa: PLC0415
-
+        os.makedirs(self._path, exist_ok=True)
         if self._overwrite:
             for ext in ("shp", "shx", "dbf"):
                 for p in glob.glob(os.path.join(self._path, f"*.{ext}")):
@@ -312,16 +366,13 @@ class ShapefileWriter(DataSourceWriter):
             if not base:
                 continue
             for ext in ("shp", "shx", "dbf"):
-                os.replace(
-                    os.path.join(self._staging, f"{base}.{ext}"),
-                    os.path.join(self._path, f"{base}.{ext}"),
-                )
-        shutil.rmtree(self._staging, ignore_errors=True)
+                tmp = os.path.join(self._path, f".{base}.{ext}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(getattr(m, ext))
+                os.replace(tmp, os.path.join(self._path, f"{base}.{ext}"))
 
     def abort(self, messages):
-        import shutil  # noqa: PLC0415
-
-        shutil.rmtree(self._staging, ignore_errors=True)
+        pass  # no task ever wrote to the output path
 
 
 class ShapefileDataSource(DataSource):
@@ -335,6 +386,7 @@ class ShapefileDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema  # noqa: PLC0415
 
+        import pandas as pd  # noqa: PLC0415
         import pyarrow as pa  # noqa: PLC0415
 
         path = self.options.get("path")
@@ -343,11 +395,56 @@ class ShapefileDataSource(DataSource):
         bbox = _parse_bbox_option(self.options.get("bbox"))
         f = self.options.get("fields")
         fields = [c.strip() for c in f.split(",")] if f else None
-        sample = _read_pair(
-            _paths(path)[0], bbox, fields, self.options.get("encoding", "utf-8")
-        )
+        enc = self.options.get("encoding", "utf-8")
+        errs = _encoding_errors_option(self.options)
+        paths = _paths(path)
+        # value dtypes come from the first file's PARSED rows; attribute
+        # COVERAGE comes from every file's dbf header (32 B per field
+        # descriptor — cheap), so a column present only in later files
+        # is not silently dropped by read()'s reindex.  bbox=None here:
+        # a filter that empties the first file must not degrade the
+        # inferred dtypes.
+        sample = _read_pair(paths[0], None, fields, enc, errs)
+        extra: list[tuple[str, str, int]] = []
+        seen = set(sample.columns)
+        for p in paths[1:]:
+            for name, ftype, decimal in _dbf_field_specs(p):
+                if name not in seen and (fields is None or name in fields):
+                    seen.add(name)
+                    extra.append((name, ftype, decimal))
+        # the sample's VALUES are discarded (only table.schema survives),
+        # so later-file-only columns get a dummy value of the dtype their
+        # dbf descriptor declares — same type mapping as parse_dbf_bytes
+        n = len(sample)
+        for name, ftype, decimal in extra:
+            if ftype in "NF" and not decimal:
+                sample[name] = pd.array([1] * n, dtype="Int64")
+            elif ftype in "NF":
+                sample[name] = pd.Series([1.0] * n, dtype="float64")
+            elif ftype == "L":
+                sample[name] = pd.array([True] * n, dtype="boolean")
+            elif ftype == "D":
+                import datetime as _dt  # noqa: PLC0415
+
+                sample[name] = pd.Series([_dt.date(1970, 1, 1)] * n, dtype="object")
+            else:
+                sample[name] = pd.Series([""] * n, dtype="object")
         table = pa.Table.from_pandas(sample.head(10), preserve_index=False)
-        return from_arrow_schema(table.schema)
+        # an all-None sample column (2D file's z/m, empty first file)
+        # infers as arrow null — unusable downstream and un-convertible
+        # by read(); pin such columns to their real ingest types
+        known = {
+            "z": pa.list_(pa.float64()),
+            "m": pa.list_(pa.float64()),
+            "part_types": pa.list_(pa.int32()),
+        }
+        schema = table.schema
+        for i, fld in enumerate(schema):
+            if pa.types.is_null(fld.type):
+                schema = schema.set(
+                    i, pa.field(fld.name, known.get(fld.name, pa.string()))
+                )
+        return from_arrow_schema(schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         cls = ShapefilePushdownReader if _pushdown_enabled() else ShapefileReader
@@ -359,16 +456,36 @@ class ShapefileDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return ShapefileStreamReader(self.options, schema)
 
+    def streamReader(self, schema: StructType):
+        """Partition-parallel streaming reader (the default): file
+        listing stays on the driver, but each new .shp is PARSED in an
+        executor task.  ``option("stream_parallel", "false")`` falls
+        back to the driver-side simple reader (Spark retries with
+        ``simpleStreamReader`` on NotImplementedError)."""
+        if self.options.get("stream_parallel", "true").lower() == "false":
+            # must be PySparkNotImplementedError: that is the exception
+            # class the engine's _streamReader catches to retry with
+            # simpleStreamReader (pyspark/sql/datasource_internal.py)
+            from pyspark.errors import PySparkNotImplementedError  # noqa: PLC0415
 
-class ShapefileStreamReader(SimpleDataSourceStreamReader):
-    """Streaming landing-directory source:
-    ``spark.readStream.format("shapefile").load(dir)`` picks up each new
-    .shp (+ sibling .dbf) exactly once.  The offset is the seen-file log
-    — the same protocol as Spark's built-in FileStreamSource — so
-    restarts resume from the checkpoint without reprocessing.  The
-    simple (driver-side) reader variant is appropriate for a landing
-    dir's arrival rate; a partition-parallel ``streamReader`` is the
-    upgrade path for heavy backfills."""
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (stream_parallel=false)"},
+            )
+        return ShapefileParallelStreamReader(self.options, schema)
+
+
+class _ShpStreamConfig:
+    """Shared option parsing + seen-file-log offset arithmetic for both
+    stream reader variants.
+
+    Offset format: ``{"seen": [paths...]}`` — the same protocol as
+    Spark's built-in FileStreamSource, except the log is NOT compacted:
+    each checkpointed offset carries the complete seen-file list, so a
+    landing dir that accumulates files forever grows its offset log
+    O(total files).  Fine for the bounded landing dirs this source
+    targets; for an unbounded stream, rotate the directory (date
+    partitions) or compact the checkpoint out-of-band."""
 
     def __init__(self, options, schema: StructType):
         self._path = options.get("path")
@@ -378,8 +495,27 @@ class ShapefileStreamReader(SimpleDataSourceStreamReader):
         f = options.get("fields")
         self._fields = [c.strip() for c in f.split(",")] if f else None
         self._encoding = options.get("encoding", "utf-8")
+        self._encoding_errors = _encoding_errors_option(options)
         self._schema = schema
         self._cols = [fld.name for fld in schema.fields]
+
+    def _list_now(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._path, "*.shp")))
+
+    def _pdf_for(self, path: str):
+        pdf = _read_pair(
+            path, self._bbox, self._fields, self._encoding, self._encoding_errors
+        )
+        # reindex, not select: a landing file without a sibling .dbf (or
+        # with fewer dbf fields than the inferred schema) yields nulls
+        # instead of a KeyError that kills the whole streaming query
+        return pdf.reindex(columns=self._cols)
+
+
+class ShapefileStreamReader(_ShpStreamConfig, SimpleDataSourceStreamReader):
+    """Driver-side streaming variant: appropriate when per-batch volume
+    is small (the prefetched batch is materialized on the driver).  See
+    ShapefileParallelStreamReader for the executor-parsed default."""
 
     def initialOffset(self):
         return {"seen": []}
@@ -390,14 +526,16 @@ class ShapefileStreamReader(SimpleDataSourceStreamReader):
         # cannot be pickled
         rows = []
         for p in paths:
-            pdf = _read_pair(p, self._bbox, self._fields, self._encoding)
-            rows.extend(tuple(r) for r in pdf[self._cols].itertuples(index=False))
+            pdf = self._pdf_for(p)
+            # reindexed-missing columns arrive as NaN floats; the tuple
+            # path needs real Nones for non-double schema fields
+            pdf = pdf.astype(object).where(pdf.notna(), None)
+            rows.extend(tuple(r) for r in pdf.itertuples(index=False))
         return iter(rows)
 
     def read(self, start):
         seen = set(start.get("seen", []))
-        now = sorted(glob.glob(os.path.join(self._path, "*.shp")))
-        new = [p for p in now if p not in seen]
+        new = [p for p in self._list_now() if p not in seen]
         end = {"seen": sorted(seen | set(new))}
         return self._rows_for(new), end
 
@@ -405,6 +543,35 @@ class ShapefileStreamReader(SimpleDataSourceStreamReader):
         seen = set(start.get("seen", []))
         target = [p for p in end.get("seen", []) if p not in seen]
         return self._rows_for(sorted(target))
+
+    def commit(self, end):
+        pass
+
+
+class ShapefileParallelStreamReader(_ShpStreamConfig, DataSourceStreamReader):
+    """Partition-parallel streaming landing-directory source:
+    ``spark.readStream.format("shapefile").load(dir)`` picks up each
+    new .shp (+ sibling .dbf) exactly once.  ``latestOffset()`` lists
+    the directory on the driver (cheap metadata), ``partitions()``
+    plans one InputPartition per new file, and ``read()`` parses the
+    file bytes into Arrow batches INSIDE the executor task — a
+    backfill dropping hundreds of files is parsed cluster-wide, not on
+    the driver."""
+
+    def initialOffset(self):
+        return {"seen": []}
+
+    def latestOffset(self):
+        return {"seen": self._list_now()}
+
+    def partitions(self, start, end):
+        seen = set(start.get("seen", []))
+        new = [p for p in end.get("seen", []) if p not in seen]
+        return [_FilePartition(p) for p in sorted(new)]
+
+    def read(self, partition):
+        pdf = self._pdf_for(partition.path)
+        yield from _to_arrow_table(pdf, self._schema).to_batches()
 
     def commit(self, end):
         pass

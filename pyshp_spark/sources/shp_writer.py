@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import struct
+import warnings
 
 import numpy as np
 
@@ -37,6 +38,16 @@ from pyshp_spark.sources.shapefile import (
     POLYLINEM,
     POLYLINEZ,
 )
+
+class PossibleDataLoss(Warning):
+    """Non-strict dbf writes warn with this category when a value had
+    to be truncated/capped to fit its field (reference sf.py:234-235)."""
+
+
+class DbfStringDataLoss(ValueError):
+    """Strict dbf writes raise this when a value cannot be encoded into
+    its field without loss (reference sf.py:238-239)."""
+
 
 _HEADER_LEN = 100
 NODATA = -1e39  # m=None encoding (reference sf.py:796-798)
@@ -197,9 +208,20 @@ def write_shp(shapes: list[tuple]) -> tuple[bytes, bytes]:
     return shp, shx
 
 
-def write_dbf(fields: list[tuple[str, str, int, int]], records: list[list]) -> bytes:
+def write_dbf(fields: list[tuple[str, str, int, int]], records: list[list],
+              strict: bool = False) -> bytes:
     """fields: [(name, type C/N/F/D/L, size, decimal)]; records: rows of
-    python values (None allowed)."""
+    python values (None allowed).
+
+    Data-loss modes follow the reference writer (sf.py:340-453):
+    ``strict=True`` raises DbfStringDataLoss when a C/M string must be
+    truncated to fit its field; the default warns (PossibleDataLoss)
+    and truncates on a UTF-8 code-point boundary.  Numbers whose
+    formatted form exceeds the field width are capped to the leading
+    ``size`` characters like the reference (sf.py:4421-4428) — with a
+    PossibleDataLoss warning (the reference caps silently; a silently
+    corrupted number is strictly worse than a warned one), or a
+    DbfStringDataLoss in strict mode."""
     record_len = 1 + sum(size for _, _, size, _ in fields)
     header_len = 32 + 32 * len(fields) + 1
     today = _dt.date(2026, 1, 1)  # deterministic
@@ -228,19 +250,25 @@ def write_dbf(fields: list[tuple[str, str, int, int]], records: list[list]) -> b
     for rec in records:
         out.append(b" ")
         for (name, ftype, size, decimal), v in zip(fields, rec):
-            out.append(_encode_dbf_value(v, ftype, size, decimal))
+            out.append(_encode_dbf_value(v, ftype, size, decimal, strict))
     out.append(b"\x1a")
     return b"".join(out)
 
 
-def _encode_dbf_value(v, ftype: str, size: int, decimal: int) -> bytes:
+def _encode_dbf_value(v, ftype: str, size: int, decimal: int,
+                      strict: bool = False) -> bytes:
     if ftype in ("N", "F"):
         if v is None:
             return b" " * size
         s = f"{float(v):.{decimal}f}" if decimal else str(int(v))
         b = s.encode("ascii")
         if len(b) > size:
-            raise ValueError(f"numeric value {s} exceeds field width {size}")
+            msg = f"numeric value {s} exceeds field width {size}"
+            if strict:
+                raise DbfStringDataLoss(msg)
+            warnings.warn(f"{msg}; capped to {s[:size]!r}",
+                          category=PossibleDataLoss)
+            b = b[:size]  # reference cap semantics (sf.py:4421-4428)
         return b.rjust(size, b" ")
     if ftype == "D":
         if v is None:
@@ -253,6 +281,13 @@ def _encode_dbf_value(v, ftype: str, size: int, decimal: int) -> bytes:
     s = "" if v is None else str(v)
     b = s.encode("utf-8")
     if len(b) > size:
+        msg = (
+            f"string value of {len(b)} encoded bytes truncated to fit "
+            f"{size}-byte dbf field"
+        )
+        if strict:
+            raise DbfStringDataLoss(msg)
+        warnings.warn(msg, category=PossibleDataLoss)
         if len(b) == len(s):
             # one byte per code point (ASCII): a plain cut is safe
             b = b[:size]

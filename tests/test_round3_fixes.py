@@ -1,0 +1,254 @@
+"""Round-3 fixes: dbf writer data-loss modes, encodingErrors
+pass-through, data source schema union, parallel stream reader, and
+the de-amplified MinHash band join."""
+
+import glob
+import io
+import os
+import time
+import warnings
+
+import pytest
+
+from pyshp_spark.sources.shapefile import parse_dbf_bytes
+from pyshp_spark.sources.shp_writer import (
+    DbfStringDataLoss,
+    PossibleDataLoss,
+    write_dbf,
+    write_shp,
+)
+
+FIXDIR = "/root/reference/tests/shapefiles"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    from pyshp_spark.sources.datasource import ShapefileDataSource  # noqa: PLC0415
+
+    spark.dataSource.register(ShapefileDataSource)
+
+
+def _read(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+class TestDbfDataLossModes:
+    FIELDS = [("NAME", "C", 6, 0), ("NUM", "N", 4, 0)]
+
+    def test_default_warns_and_truncates_string(self, ref_shapefile):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            dbf = write_dbf(self.FIELDS, [["abcdefgh", 12]])
+        assert any(issubclass(x.category, PossibleDataLoss) for x in w)
+        r = ref_shapefile.Reader(
+            dbf=io.BytesIO(dbf), shp=None, shx=None
+        )
+        rec = r.record(0)
+        assert rec[0] == "abcdef"  # truncated to field width
+        assert rec[1] == 12
+
+    def test_strict_raises_on_string_truncation(self):
+        with pytest.raises(DbfStringDataLoss):
+            write_dbf(self.FIELDS, [["abcdefgh", 12]], strict=True)
+
+    def test_default_warns_and_caps_numeric(self, ref_shapefile):
+        # reference caps the formatted number at the field width
+        # (sf.py:4421-4428); we add a PossibleDataLoss warning on top
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            dbf = write_dbf(self.FIELDS, [["ok", 123456]])
+        assert any(issubclass(x.category, PossibleDataLoss) for x in w)
+        r = ref_shapefile.Reader(dbf=io.BytesIO(dbf), shp=None, shx=None)
+        assert r.record(0)[1] == 1234  # reference cap semantics
+
+    def test_strict_raises_on_numeric_overflow(self):
+        with pytest.raises(DbfStringDataLoss):
+            write_dbf(self.FIELDS, [["ok", 123456]], strict=True)
+
+    def test_utf8_boundary_truncation_still_reference_readable(
+        self, ref_shapefile
+    ):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            dbf = write_dbf(self.FIELDS, [["abcdéf", 1]])
+        r = ref_shapefile.Reader(dbf=io.BytesIO(dbf), shp=None, shx=None)
+        # reference's conservative cut (sf.py:254-283): the scan stops
+        # at the last UTF-8 START byte below size and cuts BEFORE it,
+        # so 'é' is dropped even though 'abcdé' would fit 6 bytes
+        assert r.record(0)[0] == "abcd"
+
+
+class TestEncodingErrorsPassThrough:
+    def test_replace_mode_matches_reference(self, ref_shapefile):
+        """latin1 fixture decoded as ascii with errors='replace' must
+        match the reference reader byte-for-byte (sf.py:493-517)."""
+        shp = _read(f"{FIXDIR}/latin1.shp")
+        dbf = _read(f"{FIXDIR}/latin1.dbf")
+        ours = parse_dbf_bytes(dbf, encoding="ascii", encoding_errors="replace")
+        ref = ref_shapefile.Reader(
+            shp=io.BytesIO(shp), dbf=io.BytesIO(dbf),
+            encoding="ascii", encodingErrors="replace",
+        )
+        want = [tuple(r) for r in ref.records()]
+        got = [tuple(r) for r in ours.drop(columns=["oid"]).itertuples(index=False)]
+        assert got == want
+
+    def test_datasource_option(self, spark, tmp_path, ref_shapefile):
+        d = tmp_path / "enc"
+        d.mkdir()
+        for ext in ("shp", "dbf"):  # fixture has no .shx; reader scans
+            with open(d / f"latin1.{ext}", "wb") as f:
+                f.write(_read(f"{FIXDIR}/latin1.{ext}"))
+        df = (
+            spark.read.format("shapefile")
+            .option("encoding", "ascii")
+            .option("encodingErrors", "replace")
+            .load(str(d))
+        )
+        ref = ref_shapefile.Reader(
+            shp=io.BytesIO(_read(f"{FIXDIR}/latin1.shp")),
+            dbf=io.BytesIO(_read(f"{FIXDIR}/latin1.dbf")),
+            encoding="ascii", encodingErrors="replace",
+        )
+        want = {tuple(r) for r in ref.records()}
+        attr_cols = [c for c in df.columns if c not in (
+            "src", "oid", "shape_type", "wkb", "xmin", "ymin", "xmax", "ymax",
+            "num_parts", "num_points", "z", "m", "part_types",
+        )]
+        got = {tuple(r) for r in df.select(*attr_cols).collect()}
+        assert got == want
+
+
+def _two_file_dir(tmp_path, name="union"):
+    """File A: field ONLY_A; file B: fields ONLY_A?, no — B adds ONLY_B."""
+    d = tmp_path / name
+    d.mkdir()
+    shp, shx = write_shp([(1, (10.0, 20.0), None, None, None)])
+    dbf_a = write_dbf([("COMMON", "N", 8, 0)], [[1]])
+    dbf_b = write_dbf(
+        [("COMMON", "N", 8, 0), ("ONLY_B", "C", 10, 0)], [[2, "hello"]]
+    )
+    for base, dbf in (("a", dbf_a), ("b", dbf_b)):
+        with open(d / f"{base}.shp", "wb") as f:
+            f.write(shp)
+        with open(d / f"{base}.shx", "wb") as f:
+            f.write(shx)
+        with open(d / f"{base}.dbf", "wb") as f:
+            f.write(dbf)
+    return d
+
+
+class TestSchemaUnion:
+    def test_later_file_columns_survive(self, spark, tmp_path):
+        d = _two_file_dir(tmp_path)
+        df = spark.read.format("shapefile").load(str(d))
+        assert "ONLY_B" in df.columns
+        rows = {os.path.basename(r.src): r for r in df.collect()}
+        assert rows["a.shp"].ONLY_B is None
+        assert rows["b.shp"].ONLY_B == "hello"
+        assert rows["a.shp"].COMMON == 1 and rows["b.shp"].COMMON == 2
+
+    def test_bbox_option_does_not_degrade_schema(self, spark, tmp_path):
+        d = _two_file_dir(tmp_path, "bboxed")
+        # bbox far away: zero rows, but the schema must keep real dtypes
+        df = (
+            spark.read.format("shapefile")
+            .option("bbox", "1000,1000,1001,1001")
+            .load(str(d))
+        )
+        assert df.count() == 0
+        assert dict(df.dtypes)["COMMON"] == "bigint"
+
+
+def _wait_rows(spark, table, want, timeout=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        n = spark.sql(f"SELECT count(*) AS n FROM {table}").first().n
+        if n >= want:
+            return n
+        time.sleep(1)
+    return spark.sql(f"SELECT count(*) AS n FROM {table}").first().n
+
+
+class TestParallelStream:
+    def _mk_file(self, d, base, val):
+        shp, shx = write_shp([(1, (float(val), float(val)), None, None, None)])
+        dbf = write_dbf([("V", "N", 8, 0)], [[val]])
+        for ext, data in (("shp", shp), ("shx", shx), ("dbf", dbf)):
+            with open(d / f"{base}.{ext}", "wb") as f:
+                f.write(data)
+
+    @pytest.mark.parametrize("parallel", ["true", "false"])
+    def test_stream_both_variants_pick_up_files_once(
+        self, spark, tmp_path, parallel
+    ):
+        d = tmp_path / f"land_{parallel}"
+        d.mkdir()
+        self._mk_file(d, "f1", 1)
+        name = f"shp_stream_r3_{parallel}"
+        q = (
+            spark.readStream.format("shapefile")
+            .option("stream_parallel", parallel)
+            .load(str(d))
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            assert _wait_rows(spark, name, 1) == 1
+            self._mk_file(d, "f2", 2)
+            self._mk_file(d, "f3", 3)
+            assert _wait_rows(spark, name, 3) == 3
+            vals = sorted(r.V for r in spark.sql(f"SELECT V FROM {name}").collect())
+            assert vals == [1, 2, 3]
+        finally:
+            q.stop()
+
+    def test_stream_file_without_dbf_yields_nulls(self, spark, tmp_path):
+        d = tmp_path / "land_nodbf"
+        d.mkdir()
+        self._mk_file(d, "f1", 1)
+        name = "shp_stream_r3_nodbf"
+        q = (
+            spark.readStream.format("shapefile")
+            .load(str(d))
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            assert _wait_rows(spark, name, 1) == 1
+            # new file WITHOUT a sibling .dbf: V must come back null
+            # instead of killing the query (round-2 ADVICE)
+            shp, shx = write_shp([(1, (9.0, 9.0), None, None, None)])
+            for ext, data in (("shp", shp), ("shx", shx)):
+                with open(d / f"f2.{ext}", "wb") as f:
+                    f.write(data)
+            assert _wait_rows(spark, name, 2) == 2
+            assert q.exception() is None
+            rows = {r.V for r in spark.sql(f"SELECT V FROM {name}").collect()}
+            assert rows == {1, None}
+        finally:
+            q.stop()
+
+
+class TestMinhashShuffleShape:
+    def test_band_exchange_carries_no_text(self, spark):
+        """The band equi-join must shuffle (id, band, band_sig) only —
+        round 2 shipped 16 copies of every document through it."""
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.dedup import minhash_dedup_pairs  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {"doc_id": range(40), "text": [f"some text number {i} " * 5 for i in range(40)]}
+        )
+        df = spark.createDataFrame(pdf)
+        out = minhash_dedup_pairs(df, threshold=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+        assert exchange_lines, "expected at least one exchange in the plan"
+        assert not any("__txt" in l for l in exchange_lines)

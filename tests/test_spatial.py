@@ -126,6 +126,56 @@ class TestPipJoin:
         assert inside_ids.isdisjoint(outside_ids)
         assert len(inside_ids) + len(outside_ids) == N_IMG
 
+    def test_semi_anti_sort_merge_null_payload_column(
+        self, spark, pts_df, poly_df, oracle_pairs
+    ):
+        """A NULL in a non-coordinate point column must not change
+        semi/anti membership on the sort-merge fallback (ADVICE r2:
+        null-unsafe equality dropped such rows from semi and wrongly
+        kept them in anti)."""
+        pts = pts_df.withColumn(
+            "payload",
+            F.when(F.col("tile_x") % 2 == 0, F.lit(None).cast("string"))
+            .otherwise(F.lit("v")),
+        ).select("image_id", "lon", "lat", "payload")
+        semi = spatial_semi_join(
+            pts, poly_df, x="lon", y="lat", broadcast_polygons=False
+        )
+        anti = spatial_anti_join(
+            pts, poly_df, x="lon", y="lat", broadcast_polygons=False
+        )
+        inside_ids = {r.image_id for r in semi.collect()}
+        outside_ids = {r.image_id for r in anti.collect()}
+        assert inside_ids == {i for i, _ in oracle_pairs}
+        assert inside_ids.isdisjoint(outside_ids)
+        assert len(inside_ids) + len(outside_ids) == N_IMG
+
+
+class TestBroadcastGuard:
+    def test_byte_aware_guard_falls_back_to_sort_merge(self, spark):
+        from pyshp_spark.operators.spatial import _resolve_broadcast  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        big = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "oid": range(8),
+                    "wkb": [bytes(200_000)] * 8,
+                    "xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0,
+                }
+            )
+        )
+        # 8 rows pass any row guard, but 8 x 200 kB > 1 MB byte budget
+        assert _resolve_broadcast(big, "auto", 4_000_000,
+                                  max_broadcast_bytes=1_000_000) is False
+        # same frame under a roomy byte budget broadcasts
+        assert _resolve_broadcast(big, "auto", 4_000_000,
+                                  max_broadcast_bytes=10_000_000) is True
+        # explicit override still wins
+        assert _resolve_broadcast(big, True, 4_000_000,
+                                  max_broadcast_bytes=1_000_000) is True
+
 
 class TestTileAssignment:
     def test_center_mode_matches_pointwise_oracle(
