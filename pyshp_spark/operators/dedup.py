@@ -319,8 +319,14 @@ def minhash_dedup_pairs(
     width: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with exact-Jaccard verification.
+
+    ``checkpoint=True`` (default) persists the banded signatures (they
+    feed BOTH sides of the band self-join — without it the signature
+    UDF subtree computes twice) and materializes the pair-sized result
+    eagerly so the cache is released; pass False for the lazy plan.
 
     bands * rows_per_band == num_perm; a pair collides when any band's
     signature slice matches.  Candidates are verified with the true
@@ -351,6 +357,8 @@ def minhash_dedup_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    if checkpoint:
+        banded = banded.persist()
 
     left = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
     right = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
@@ -385,11 +393,15 @@ def minhash_dedup_pairs(
             out[i] = len(sa & sb) / u if u else 0.0
         return pd.Series(out)
 
-    return (
+    out = (
         cand.withColumn("jaccard", F.round(true_jaccard("__txt_a", "__txt_b"), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        banded.unpersist()
+    return out
 
 
 # ------------------------------------------- sketch SQL oracles ----------

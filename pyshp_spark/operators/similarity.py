@@ -42,6 +42,24 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _fold_dots(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, d) -> (n, m) dot products accumulated dimension by
+    dimension — the exact left-fold addition order of ``dot_expr``'s
+    F.aggregate, so values are bit-identical to the Column-expression
+    path (and therefore to the hash-green DuckDB oracle)."""
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc += a[:, j : j + 1] * b[None, :, j]
+    return acc
+
+
+def _fold_norms(m: np.ndarray) -> np.ndarray:
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc += m[:, j] * m[:, j]
+    return np.sqrt(acc)
+
+
 def cosine_topk_brute(
     queries: DataFrame,
     corpus: DataFrame,
@@ -50,10 +68,85 @@ def cosine_topk_brute(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    via: str = "kernel",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries x corpus, JVM dot products,
-    per-query window top-k (Spark optimizes row_number<=k to a
-    per-partition top-k).  Output: (query_id, vec_id, cosine, rank)."""
+    """Exact cosine top-k.  Output: (query_id, vec_id, cosine, rank).
+
+    ``via="kernel"`` (default): queries are collected once (the
+    dimension side, by definition of a brute query batch) and broadcast
+    as a numpy matrix; one ``mapInPandas`` pass over the corpus scores
+    each Arrow batch with vectorized fold-order dots and emits only the
+    per-batch top-k rows per query, then a tiny JVM window merges the
+    global top-k.  The corpus never shuffles and only nq*k rows per
+    batch cross Arrow — the 100 TB shape.  Float results are
+    bit-identical to the expression path because the accumulation
+    order is reproduced exactly (see _fold_dots).
+
+    ``via="expr"``: the all-JVM crossJoin + Column-expression variant.
+    Catalyst evaluates higher-order functions (aggregate/zip_with)
+    INTERPRETED per element, so this path costs ~d interpreted lambda
+    calls per pair — keep it for small corpora or pure-JVM deployments.
+    """
+    if via == "expr":
+        return _cosine_topk_expr(
+            queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
+        )
+    from pyspark.sql.types import DoubleType, StructField, StructType  # noqa: PLC0415
+
+    q_pdf = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    ).toPandas()
+    spark = corpus.sparkSession
+    qid_field = queries.select(F.col(query_id).alias("query_id")).schema.fields[0]
+    cid_field = corpus.select(F.col(corpus_id).alias("vec_id")).schema.fields[0]
+    out_schema = StructType(
+        [qid_field, cid_field, StructField("cosine", DoubleType())]
+    )
+    if len(q_pdf) == 0:
+        empty = spark.createDataFrame([], schema=out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).limit(0)
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in q_pdf["__qv"]])
+    qn = _fold_norms(qm)
+    qids = q_pdf["query_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((qm, qn, qids))
+
+    def score(batches):
+        qm_, qn_, qids_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
+            )
+            cn = _fold_norms(cm)
+            cos = np.round(_fold_dots(qm_, cm) / (qn_[:, None] * cn[None, :]), 6)
+            cids = pdf["vec_id"].to_numpy()
+            # per-batch top-k per query under the global total order
+            # (-cosine, vec_id): batch winners are the only possible
+            # global winners, so emitting k rows per query is lossless
+            order = np.lexsort((cids[None, :].repeat(nq, 0), -cos), axis=1)[:, :k]
+            rows = {
+                "query_id": np.repeat(qids_, order.shape[1]),
+                "vec_id": cids[order].ravel(),
+                "cosine": np.take_along_axis(cos, order, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cand = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv")
+    ).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _cosine_topk_expr(
+    queries, corpus, k, query_id, query_vec, corpus_id, corpus_vec
+) -> DataFrame:
     # norms are computed ONCE per row (not per pair): cosine is then a
     # single dot per pair — float-identical to cosine_expr because the
     # per-pair expression dot/(sqrt(da)*sqrt(db)) is unchanged, the

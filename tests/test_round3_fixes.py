@@ -247,7 +247,7 @@ class TestMinhashShuffleShape:
             {"doc_id": range(40), "text": [f"some text number {i} " * 5 for i in range(40)]}
         )
         df = spark.createDataFrame(pdf)
-        out = minhash_dedup_pairs(df, threshold=0.5)
+        out = minhash_dedup_pairs(df, threshold=0.5, checkpoint=False)
         plan = out._jdf.queryExecution().executedPlan().toString()
         exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
         assert exchange_lines, "expected at least one exchange in the plan"
