@@ -214,6 +214,48 @@ def _hash64_sql(x: str) -> str:
     )
 
 
+def _shingle_hash_ctes(key: str, width: int) -> str:
+    """CTE chain mirroring the token-hash shingle pipeline: from a CTE
+    ``tk({key}, tks)`` to ``hv({key}, h)`` with one row per window
+    shingle hash.  Token hashes (Horner + finalizer, nested
+    list_transforms so nothing is evaluated twice) combine into window
+    hashes with the :func:`_shingle_mults` odd-multiplier sum — exact
+    HUGEINT arithmetic matching numpy's uint64 wrap-around."""
+    mults = _shingle_mults(width)
+    lt = f"list_transform(tks, t -> {_hash64_sql('t')})"
+    lt = (
+        f"list_transform({lt}, "
+        f"h -> xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 33))"
+    )
+    lt = (
+        f"list_transform({lt}, h -> CAST((h::HUGEINT * {_MIX_MULT}::HUGEINT)"
+        f" % {_U64}::HUGEINT AS UBIGINT))"
+    )
+    lt = f"list_transform({lt}, h -> xor(h, h >> 29)::HUGEINT)"
+    mult_case = " ".join(
+        f"WHEN {j} THEN {mults[j]}::HUGEINT" for j in range(width)
+    )
+    win = " + ".join(
+        f"(th[i+{j + 1}] * {mults[j]}::HUGEINT) % {_U64}::HUGEINT"
+        for j in range(width)
+    )
+    return f"""th AS (SELECT {key}, {lt} AS th FROM tk),
+        shh AS (
+            SELECT {key},
+                CASE WHEN len(th) = 0 THEN []::HUGEINT[]
+                     WHEN len(th) < {width} THEN
+                        [CAST(list_sum(list_transform(range(0, len(th)),
+                            j -> (th[j+1] * (CASE j {mult_case} END))
+                                 % {_U64}::HUGEINT)) AS HUGEINT)
+                         % {_U64}::HUGEINT]
+                     ELSE list_transform(range(0, len(th) - {width - 1}),
+                         i -> ({win}) % {_U64}::HUGEINT)
+                END AS shs
+            FROM th
+        ),
+        hv AS (SELECT {key}, s.h AS h FROM shh, unnest(shs) AS s(h))"""
+
+
 def _finalize_ctes(key: str, src: str = "hv") -> str:
     """CTE chain applying the xorshift64*-style finalizer to column
     ``h0`` of CTE ``src`` (one row per (key, item)); yields
@@ -252,16 +294,71 @@ def shingles(text: str, width: int = 3) -> set[bytes]:
 
 def minhash_signature_py(text: str, num_perm: int = 64, width: int = 3,
                          seed: int = 1) -> np.ndarray:
-    """Single-doc oracle-side signature (scalar :func:`_hash64` base
-    hash + affine perms mod the Mersenne prime 2^61-1, with numpy's
-    uint64 wrap-around on the multiply-add)."""
+    """Single-doc oracle-side signature: per-token :func:`_hash64`,
+    window-combined into shingle hashes (odd-multiplier sum mod 2^64,
+    see :func:`_shingle_mults`), then affine perms mod the Mersenne
+    prime 2^61-1 with numpy's uint64 wrap-around on the multiply-add."""
     a, b = _minhash_params(num_perm, seed)
-    sh = shingles(text, width)
-    if not sh:
+    mults = _shingle_mults(width)
+    toks = [t for t in ("" if text is None else text).lower().split() if t]
+    if not toks:
         return np.zeros(num_perm, dtype=np.int64)
-    base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+    th = [_hash64(t.encode()) for t in toks]
+    if len(th) < width:
+        sh = [sum(th[j] * mults[j] for j in range(len(th))) % _U64]
+    else:
+        sh = [
+            sum(th[i + j] * mults[j] for j in range(width)) % _U64
+            for i in range(len(th) - width + 1)
+        ]
+    base = np.array(sh, dtype=np.uint64)
     vals = (a[None, :] * base[:, None] + b[None, :]) % np.uint64(_MERSENNE)
     return vals.min(axis=0).astype(np.int64)
+
+
+def _shingle_mults(width: int) -> list[int]:
+    """Odd 61-bit multipliers combining token hashes into a window
+    (shingle) hash: sh = (sum_j th[i+j] * P_j) mod 2^64.  Multiplying
+    by an odd constant mod 2^64 is a bijection, so every bit of every
+    (already-finalized) token hash feeds the shingle hash; keeping
+    P < 2^61 keeps th*P inside signed 128-bit for the SQL mirror."""
+    return [((0x9E3779B97F4A7C15 * (j + 1)) % (1 << 61)) | 1 for j in range(width)]
+
+
+def _window_hashes_np(
+    th: np.ndarray, tcounts: np.ndarray, width: int, mults: list[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word-shingle hashes from flattened per-token hashes.
+
+    A doc with n >= width tokens yields its n-width+1 windows; a doc
+    with 0 < n < width yields ONE shingle over all its tokens (same
+    shape as the string-shingle rule in :func:`shingles`); empty docs
+    yield none.  Fully vectorized — the only loop is over the width.
+    Returns (flat shingle hashes in doc order, shingles per doc)."""
+    tcounts = np.asarray(tcounts, dtype=np.int64)
+    tstarts = np.cumsum(tcounts) - tcounts
+    wfull = np.where(tcounts >= width, tcounts - width + 1, 0)
+    short_mask = (tcounts > 0) & (tcounts < width)
+    sh_counts = wfull + short_mask.astype(np.int64)
+    outstarts = np.cumsum(sh_counts) - sh_counts
+    out = np.zeros(int(sh_counts.sum()), dtype=np.uint64)
+    total_w = int(wfull.sum())
+    if total_w:
+        head = np.cumsum(wfull) - wfull
+        within = np.arange(total_w) - np.repeat(head, wfull)
+        ws = np.repeat(tstarts, wfull) + within
+        acc = np.zeros(total_w, dtype=np.uint64)
+        for j in range(width):
+            acc += th[ws + j] * np.uint64(mults[j])
+        out[np.repeat(outstarts, wfull) + within] = acc
+    sidx = np.flatnonzero(short_mask)
+    if len(sidx):
+        sacc = np.zeros(len(sidx), dtype=np.uint64)
+        for j in range(width - 1):
+            m = tcounts[sidx] > j
+            sacc[m] += th[(tstarts[sidx] + j)[m]] * np.uint64(mults[j])
+        out[outstarts[sidx]] = sacc
+    return out, sh_counts
 
 
 def _doc_blocks(seg_starts: np.ndarray, seg_ends: np.ndarray, block: int):
@@ -283,19 +380,26 @@ _SKETCH_BLOCK = 4096  # items per affine/vote block (x64 perms ~ 2 MB, L2-ish)
 
 def minhash_udf(num_perm: int = 64, width: int = 3, seed: int = 1):
     """Signature UDF, vectorized across the WHOLE Arrow batch: all
-    shingles of all docs are hashed in one :func:`_hash64_np` call, and
-    the affine perms + per-doc minima run in cache-sized doc blocks
-    (``np.minimum.reduceat`` per block) — the only per-doc Python left
-    is the string shingling itself."""
+    TOKENS of all docs are hashed in one :func:`_hash64_np` call (a
+    token is ~1/width the bytes of a string shingle, and no per-window
+    join/encode strings are ever built), windows combine into shingle
+    hashes in one numpy pass (:func:`_window_hashes_np`), and the
+    affine perms + per-doc minima run in cache-sized doc blocks
+    (``np.minimum.reduceat`` per block).  The only per-doc Python left
+    is ``str.lower().split()``."""
     a, b = _minhash_params(num_perm, seed)
+    mults = _shingle_mults(width)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        sets = [list(shingles(t, width)) for t in texts]
-        counts = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
-        out = np.zeros((len(sets), num_perm), dtype=np.int64)
-        if counts.sum():
-            base = _hash64_np([s for ss in sets for s in ss])
+        tok_lists = [("" if t is None else t).lower().split() for t in texts]
+        tcounts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        out = np.zeros((len(tok_lists), num_perm), dtype=np.int64)
+        if tcounts.sum():
+            th = _hash64_np([t.encode() for ts in tok_lists for t in ts])
+            base, counts = _window_hashes_np(th, tcounts, width, mults)
             nz = np.flatnonzero(counts)
             seg_starts = (np.cumsum(counts) - counts)[nz]
             seg_ends = seg_starts + counts[nz]
@@ -415,32 +519,18 @@ def minhash_sig0_sql(table: str, key: str = "doc_id", text: str = "text",
     wrap-around is reproduced with explicit mod-2^64 steps)."""
     a, b = _minhash_params(num_perm, seed)
     a0, b0 = int(a[0]), int(b[0])
-    h0 = _hash64_sql("s.sh")
     return f"""
         WITH tk AS (
             SELECT {key}, list_filter(regexp_split_to_array(lower({text}), '\\s+'),
                                       x -> x <> '') AS tks
             FROM {table}
         ),
-        sh AS (
-            SELECT {key},
-                CASE WHEN len(tks) = 0 THEN []::VARCHAR[]
-                     WHEN len(tks) < {width} THEN [array_to_string(tks, ' ')]
-                     ELSE list_transform(range(0, len(tks) - {width - 1}),
-                                         i -> array_to_string(tks[i+1:i+{width}], ' '))
-                END AS shingles
-            FROM tk
-        ),
-        hv AS (
-            SELECT {key}, {h0} AS h0
-            FROM sh, unnest(shingles) AS s(sh)
-        ),
-        {_finalize_ctes(key)},
+        {_shingle_hash_ctes(key, width)},
         sig AS (
             SELECT {key},
                 min((({a0}::HUGEINT * h) % {_U64}::HUGEINT + {b0}::HUGEINT)
                     % {_U64}::HUGEINT % {_MERSENNE}::HUGEINT) AS sig0
-            FROM hf GROUP BY {key}
+            FROM hv GROUP BY {key}
         )
         SELECT t.{key}, CAST(COALESCE(s.sig0, 0) AS BIGINT) AS sig0
         FROM tk t LEFT JOIN sig s USING ({key})
@@ -459,7 +549,6 @@ def minhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
     0 < threshold)."""
     a, b = _minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
-    h0 = _hash64_sql("s.sh")
     mins = ",\n                ".join(
         f"CAST(min((({int(a[i])}::HUGEINT * h) % {_U64}::HUGEINT"
         f" + {int(b[i])}::HUGEINT) % {_U64}::HUGEINT"
@@ -489,15 +578,11 @@ def minhash_pairs_sql(table: str, key: str = "doc_id", text: str = "text",
                 END AS shingles
             FROM tk
         ),
-        hv AS (
-            SELECT {key}, {h0} AS h0
-            FROM sh, unnest(shingles) AS s(sh)
-        ),
-        {_finalize_ctes(key)},
+        {_shingle_hash_ctes(key, width)},
         sig AS (
             SELECT {key},
                 {mins}
-            FROM hf GROUP BY {key}
+            FROM hv GROUP BY {key}
         ),
         bands AS (
             {band_rows}
