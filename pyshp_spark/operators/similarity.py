@@ -1,16 +1,27 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk_brute``: exact top-k by cosine — the correctness
-  baseline.  Dot products run JVM-side via ``F.aggregate``/``zip_with``
-  Column expressions (no Python), queries broadcast.
-- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path —
-  sign-bit sketches via one vectorized pandas UDF, bucket equi-join
-  (multi-probe over bit-flip neighbors), exact rerank inside buckets.
+  baseline.  Default ``via="kernel"``: broadcast query matrix, one
+  mapInPandas pass over the corpus with fold-order numpy dots, only
+  nq*k rows per batch cross Arrow; ``via="expr"`` keeps the all-JVM
+  Column-expression variant.
+- ``lsh_topk`` / ``ivf_topk``: bucketed ANN as the scale path — bucket
+  equi-join bounds the candidate set, exact cosine rerank via the
+  fold-order pair kernel (``cosine_pair_udf``).  ``int_planes`` /
+  ``quantize`` switch bucketing to exact integer arithmetic with full
+  DuckDB SQL mirrors (lsh_ann_sql / ivf_ann_sql).
 - ``embedding_dedup_pairs``: near-duplicate pairs with cosine >= tau
-  blocked by LSH bucket.
+  blocked by LSH bucket (embedding_dedup_sql mirror with int planes).
 
-At 10^12-row scale the brute path is the per-bucket rerank kernel; the
-LSH join is what bounds the candidate set.
+Float discipline: every cosine — expression, pair kernel, broadcast
+kernel — accumulates in the SAME left-fold order, so all paths produce
+bit-identical rounded values and stay hash-consistent with the DuckDB
+oracles.  Catalyst higher-order functions (aggregate/zip_with) are
+interpreted per element, so hot paths use the numpy kernels; the
+Column expressions remain for pure-JVM deployments.
+
+At 10^12-row scale the bucket join is what bounds candidate count; the
+rerank kernel is the per-bucket workhorse.
 """
 
 from __future__ import annotations
@@ -58,6 +69,31 @@ def _fold_norms(m: np.ndarray) -> np.ndarray:
     for j in range(m.shape[1]):
         acc += m[:, j] * m[:, j]
     return np.sqrt(acc)
+
+
+def cosine_pair_udf():
+    """Rounded cosine over PAIR ROWS (two array columns), vectorized
+    per Arrow batch with the exact fold accumulation order of
+    ``cosine_expr`` — bit-identical to the Column-expression path, so
+    swapping it into a rerank keeps the DuckDB oracles hash-green while
+    removing ~3*d interpreted Catalyst lambda calls per pair."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        a = np.vstack([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.vstack([np.asarray(v, dtype=np.float64) for v in vb])
+        dot = np.zeros(len(a), dtype=np.float64)
+        na = np.zeros(len(a), dtype=np.float64)
+        nb = np.zeros(len(a), dtype=np.float64)
+        for j in range(a.shape[1]):
+            dot += a[:, j] * b[:, j]
+            na += a[:, j] * a[:, j]
+            nb += b[:, j] * b[:, j]
+        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+
+    return cos
 
 
 def cosine_topk_brute(
@@ -276,13 +312,11 @@ def lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
-        norm_expr(F.col(corpus_vec)).alias("__cn"),
         bucket(F.col(corpus_vec)).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        norm_expr(F.col(query_vec)).alias("__qn"),
         bucket(F.col(query_vec)).alias("__b0"),
     )
     probes = [F.col("__b0")]
@@ -298,13 +332,11 @@ def lsh_topk(
         ]
     q = q.withColumn("__bucket", F.explode(F.array(*probes)))
     cand = F.broadcast(q).join(c, on="__bucket").dropDuplicates(["query_id", "vec_id"])
+    # fold-order pandas kernel, not the HOF expression: Catalyst
+    # interprets aggregate/zip_with per element (~3*dim lambda calls
+    # per candidate pair); values are bit-identical (same fold order)
     scored = cand.withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
-            6,
-        ),
+        "cosine", cosine_pair_udf()(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -387,23 +419,16 @@ def ivf_topk(
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).alias("__cv"),
-        norm_expr(F.col(corpus_vec)).alias("__cn"),
         assign(F.col(corpus_vec)).alias("__list"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        norm_expr(F.col(query_vec)).alias("__qn"),
         F.explode(probe_udf(n_probe)(F.col(query_vec))).alias("__list"),
     )
     cand = F.broadcast(q).join(c, on="__list")
     scored = cand.withColumn(
-        "cosine",
-        F.round(
-            dot_expr(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn")),
-            6,
-        ),
+        "cosine", cosine_pair_udf()(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -436,28 +461,18 @@ def embedding_dedup_pairs(
     bucket = lsh_bucket_udf(dim, n_planes, seed, int_planes=int_planes, scale=scale)
     b = df.select(
         F.col(vec_id).alias("id"), F.col(vec).alias("__v"),
-        norm_expr(F.col(vec)).alias("__n"),
         bucket(F.col(vec)).alias("__bucket"),
     )
     left = b.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__bucket"
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
     )
     right = b.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__bucket"
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
     )
     return (
         left.join(right, on="__bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot_expr(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            ),
-        )
+        .withColumn("cosine", cosine_pair_udf()(F.col("__va"), F.col("__vb")))
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
