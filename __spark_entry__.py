@@ -43,6 +43,7 @@ from pyshp_spark.functions.geojson import geojson_udf  # noqa: E402
 from pyshp_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_dedup_pairs,
+    neardup_keepers_sql,
     minhash_pairs_sql,
     minhash_sig0_sql,
     minhash_udf,
@@ -392,6 +393,16 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_dedup_pairs(docs, key="doc_id", text="text", threshold=0.5)
 
 
+def q_neardup_filter(spark, sf_dir):
+    # full dedup story: MinHash-LSH pairs -> connected components ->
+    # one canonical keeper per near-dup cluster, every doc labeled
+    from pyshp_spark.operators.dedup import neardup_keepers  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, key="doc_id", text="text", threshold=0.5)
+    return neardup_keepers(docs, pairs, key="doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_dedup_pairs(docs, key="doc_id", text="text", max_hamming=3)
@@ -537,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_jaccard": q_token_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "neardup_filter": q_neardup_filter,
         "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -708,6 +720,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": minhash_sig0_sql("documents"),
         "minhash_pairs": minhash_pairs_sql("documents", threshold=0.5),
+        "neardup_filter": neardup_keepers_sql(
+            minhash_pairs_sql("documents", threshold=0.5), "documents"
+        ),
         "simhash_pairs": simhash_pairs_sql("documents", max_hamming=3),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """

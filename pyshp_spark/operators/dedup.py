@@ -508,6 +508,109 @@ def minhash_dedup_pairs(
     return out
 
 
+# ------------------------------------------ cluster resolution ----------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, root) for every id in the pair-edge graph; root = the
+    smallest id in the connected component.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels — converges in graph-
+    diameter rounds (near-dup clusters are shallow; ``max_iter`` is a
+    backstop for pathological chains and raises if hit).  All data work
+    is joins + groupBy-min; the driver only orchestrates rounds, and
+    each round's labels are localCheckpoint'd so lineage stays flat.
+    """
+    und = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "b"), on="b")
+            .select(F.col("a").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nbr, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "nl")
+            .join(labels, on="id")
+            .where(F.col("nl") != F.col("lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("root"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def neardup_keepers(
+    df: DataFrame, pairs: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """(key, keeper_id, is_dup) for EVERY row of ``df``: keeper_id is
+    the smallest id in the row's near-dup cluster (itself when it has
+    no near-duplicates).  ``pairs`` is any near-dup pair set (MinHash,
+    SimHash, embedding) with id_a < id_b columns.  Filter the corpus
+    with ``is_dup = false`` to keep one canonical doc per cluster."""
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(key))
+        .join(cc.withColumnRenamed("id", key), on=key, how="left")
+        .select(
+            key,
+            F.coalesce("root", F.col(key)).alias("keeper_id"),
+            (F.coalesce("root", F.col(key)) != F.col(key)).alias("is_dup"),
+        )
+    )
+
+
+def neardup_keepers_sql(pairs_sql: str, table: str, key: str = "doc_id") -> str:
+    """DuckDB mirror of ``neardup_keepers`` over the pair set produced
+    by ``pairs_sql`` (any of the exact pair mirrors): undirected
+    transitive closure via a recursive CTE, keeper = min reachable id."""
+    return f"""
+        WITH RECURSIVE edges AS ({pairs_sql}),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b AS a, id_a AS b FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        keeper AS (
+            SELECT a AS id, least(a, min(b)) AS keeper FROM reach GROUP BY a
+        )
+        SELECT d.{key},
+               COALESCE(k.keeper, d.{key}) AS keeper_id,
+               COALESCE(k.keeper, d.{key}) <> d.{key} AS is_dup
+        FROM {table} d LEFT JOIN keeper k ON k.id = d.{key}
+    """
+
+
 # ------------------------------------------- sketch SQL oracles ----------
 
 

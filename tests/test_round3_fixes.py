@@ -235,6 +235,44 @@ class TestParallelStream:
             q.stop()
 
 
+class TestNeardupClusters:
+    def test_connected_components_min_label(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.dedup import (  # noqa: PLC0415
+            connected_components,
+            neardup_keepers,
+        )
+
+        # components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,6}, {7} isolated
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 3, 5], "id_b": [2, 3, 9, 6]})
+        )
+        cc = {r.id: r.root for r in connected_components(pairs).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 5, 6, 7, 9]})
+        )
+        out = {r.doc_id: (r.keeper_id, r.is_dup)
+               for r in neardup_keepers(docs, pairs).collect()}
+        assert out == {
+            1: (1, False), 2: (1, True), 3: (1, True), 9: (1, True),
+            5: (5, False), 6: (5, True), 7: (7, False),
+        }
+
+    def test_long_chain_converges(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.dedup import connected_components  # noqa: PLC0415
+
+        n = 12  # diameter 11: well within the default round budget
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+        )
+        cc = {r.id: r.root for r in connected_components(pairs).collect()}
+        assert cc == {i: 0 for i in range(n)}
+
+
 class TestMinhashShuffleShape:
     def test_band_exchange_carries_no_text(self, spark):
         """The band equi-join must shuffle (id, band, band_sig) only —
