@@ -520,12 +520,15 @@ def connected_components(
     """(id, root) for every id in the pair-edge graph; root = the
     smallest id in the connected component.
 
-    Min-label propagation: each round every node takes the minimum of
-    its own label and its neighbors' labels — converges in graph-
-    diameter rounds (near-dup clusters are shallow; ``max_iter`` is a
-    backstop for pathological chains and raises if hit).  All data work
-    is joins + groupBy-min; the driver only orchestrates rounds, and
-    each round's labels are localCheckpoint'd so lineage stays flat.
+    Min-label propagation with pointer doubling: each round every node
+    takes the minimum of (its label, its neighbors' labels, its LABEL's
+    label).  The neighbor step moves labels one hop; the doubling step
+    halves the remaining distance to the component root, so rounds are
+    O(log diameter) — a million-node chain resolves in ~20 rounds, not
+    a million (``max_iter`` is the backstop and raises if hit).  All
+    data work is joins + groupBy-min; the driver only orchestrates
+    rounds, and each round's labels are localCheckpoint'd so lineage
+    stays flat.
     """
     und = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -543,11 +546,20 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(nbr, on="id", how="left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+        )
+        # pointer doubling: follow my label to ITS label and take the
+        # min — jumps 2^r-hop chains in r rounds
+        hop = stepped.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new = (
-            labels.join(nbr, on="id", how="left")
+            stepped.join(hop, on="lbl", how="left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                F.least(F.col("lbl"), F.coalesce("lbl2", "lbl")).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
