@@ -802,12 +802,17 @@ def knn_join(
         remaining = remaining.join(kth, on=query_id, how="left_anti")
 
     if not remaining.isEmpty():
+        # straggler fallback: queries still unresolved after max_rounds
+        # (empty regions / degenerate grids) scan the whole target set.
+        # Broadcast only when the target side passes the row guard —
+        # hinting a broadcast of an unbounded table would OOM the
+        # driver; past the guard Spark runs a distributed cartesian
+        # (expensive but bounded, and the straggler set is tiny).
+        t = targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
+        if _resolve_broadcast(targets, "auto", 4_000_000):
+            t = F.broadcast(t)
         results.append(
-            remaining.crossJoin(
-                F.broadcast(
-                    targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
-                )
-            ).withColumn(
+            remaining.crossJoin(t).withColumn(
                 "dist2",
                 (F.col(qx) - F.col("__t_" + tx)) * (F.col(qx) - F.col("__t_" + tx))
                 + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
