@@ -291,6 +291,48 @@ def q_pip_join(spark, sf_dir):
     return out.select("point_id", "oid")
 
 
+def _pts_skewed(spark, sf_dir):
+    """Adversarially skewed probe: every order's line 1 (~25% of rows)
+    lands on ONE hot point (500.25, 500.1) — a single grid cell holds a
+    quarter of the probe side."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        4 * spark.sparkContext.defaultParallelism
+    )
+    hot = F.col("l_linenumber") == 1
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("point_id"),
+        F.when(hot, F.lit(500.25)).otherwise(
+            ((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)
+        ).alias("x"),
+        F.when(hot, F.lit(500.1)).otherwise(
+            ((F.col("l_suppkey") * 13) % 1000).cast("double") + F.lit(0.1)
+        ).alias("y"),
+    )
+
+
+_PTS_SKEWED_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS point_id,
+       CASE WHEN l_linenumber = 1 THEN 500.25
+            ELSE CAST((l_partkey * 7) % 1000 AS DOUBLE) + 0.25 END AS x,
+       CASE WHEN l_linenumber = 1 THEN 500.1
+            ELSE CAST((l_suppkey * 13) % 1000 AS DOUBLE) + 0.1 END AS y
+FROM lineitem
+"""
+
+
+def q_pip_skew(spark, sf_dir):
+    # pins the SALTED SORT-MERGE join path in the driver gate (every
+    # other spatial entry auto-picks the broadcast index): hot cell
+    # pre-split 8 ways + AQE as backstop, exact ray-cast refine
+    pts = _pts_skewed(spark, sf_dir)
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    out = point_in_polygon_join(
+        pts, dia, x="x", y="y", grid=ENTRY_GRID, polygon_cols=["oid"],
+        broadcast_polygons=False, salt_k=8,
+    )
+    return out.select("point_id", "oid")
+
+
 def q_spatial_semi(spark, sf_dir):
     pts = _pts(spark, sf_dir)
     dia = _diamond_wkb(_diamonds(spark, sf_dir))
@@ -538,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_count": q_cell_count,
         "extent_agg": q_extent_agg,
         "pip_join": q_pip_join,
+        "pip_skew": q_pip_skew,
         "spatial_semi": q_spatial_semi,
         "spatial_anti": q_spatial_anti,
         "knn": q_knn,
@@ -592,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_join": f"""
             WITH pts AS ({_PTS_SQL}), d AS ({_DIAMONDS_SQL})
+            SELECT p.point_id, d.oid
+            FROM pts p, d
+            WHERE p.x BETWEEN d.xmin AND d.xmax
+              AND p.y BETWEEN d.ymin AND d.ymax
+              AND {pip_pred}
+        """,
+        "pip_skew": f"""
+            WITH pts AS ({_PTS_SKEWED_SQL}), d AS ({_DIAMONDS_SQL})
             SELECT p.point_id, d.oid
             FROM pts p, d
             WHERE p.x BETWEEN d.xmin AND d.xmax
