@@ -225,3 +225,97 @@ def test_utf8_truncation_parity(s, size):
     got = _encode_dbf_value(s, "C", size, 0)
     assert got == want[:size].ljust(size, b" "), (s, size, got, want)
     got.decode("utf-8")  # always valid utf-8
+
+
+# ---------------------------------------------------------------------------
+# round-3 numeric kernels: batch hash, window shingles, fold cosines
+
+
+@given(
+    items=st.lists(st.binary(min_size=0, max_size=64), min_size=0, max_size=200)
+)
+@settings(max_examples=60, deadline=None)
+def test_hash64_vectorized_equals_scalar(items):
+    from pyshp_spark.operators.dedup import _hash64, _hash64_np
+
+    got = _hash64_np(items)
+    assert [int(v) for v in got] == [_hash64(b) for b in items]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.text(st.characters(min_codepoint=33, max_codepoint=300),
+                         min_size=1, max_size=8), min_size=0, max_size=12),
+        min_size=1, max_size=20,
+    ),
+    width=st.integers(2, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_window_hashes_equal_scalar_shingle_rule(docs, width):
+    """_window_hashes_np (flattened, vectorized) == the per-doc scalar
+    rule: n>=w -> every w-window; 0<n<w -> one shingle over all tokens;
+    n==0 -> none."""
+    from pyshp_spark.operators.dedup import (
+        _U64,
+        _hash64,
+        _hash64_np,
+        _shingle_mults,
+        _window_hashes_np,
+    )
+
+    mults = _shingle_mults(width)
+    flat_tokens = [t.encode() for d in docs for t in d]
+    th = _hash64_np(flat_tokens)
+    counts = np.array([len(d) for d in docs], dtype=np.int64)
+    out, sh_counts = _window_hashes_np(th, counts, width, mults)
+    # scalar oracle
+    want = []
+    want_counts = []
+    for d in docs:
+        hs = [_hash64(t.encode()) for t in d]
+        if not hs:
+            want_counts.append(0)
+            continue
+        if len(hs) < width:
+            want.append(sum(hs[j] * mults[j] for j in range(len(hs))) % _U64)
+            want_counts.append(1)
+        else:
+            wins = [
+                sum(hs[i + j] * mults[j] for j in range(width)) % _U64
+                for i in range(len(hs) - width + 1)
+            ]
+            want.extend(wins)
+            want_counts.append(len(wins))
+    assert list(sh_counts) == want_counts
+    assert [int(v) for v in out] == want
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 40),
+    m=st.integers(1, 20),
+    dim=st.integers(1, 48),
+)
+@settings(max_examples=40, deadline=None)
+def test_fold_dots_match_sequential_fold(seed, n, m, dim):
+    """The broadcast kernel's dot/norm folds must reproduce the exact
+    left-fold accumulation of the Column expression (float64, one add
+    per dimension in array order)."""
+    from pyshp_spark.operators.similarity import _fold_dots, _fold_norms
+
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, dim))
+    b = rng.standard_normal((m, dim))
+    dots = _fold_dots(a, b)
+    for i in range(min(n, 5)):
+        for j in range(min(m, 5)):
+            acc = 0.0
+            for d in range(dim):
+                acc += a[i, d] * b[j, d]
+            assert dots[i, j] == acc
+    norms = _fold_norms(a)
+    for i in range(min(n, 5)):
+        acc = 0.0
+        for d in range(dim):
+            acc += a[i, d] * a[i, d]
+        assert norms[i] == np.sqrt(acc)
