@@ -1,12 +1,14 @@
-"""Multimodal (image binary column) operators.
+"""Multimodal (image / video / audio binary column) operators.
 
-Images are opaque ``binary`` columns with typed metadata (w, h, fmt) —
-the BASELINE.json input_hint schema.  Decode / feature-extract /
-resize run as Arrow-batched ``mapInPandas`` transforms over the tiny
-stdlib codec in kernels/image.py (raw RGB + minimal PNG).  Formats the
-codec cannot handle raise NotImplementedError (clearly-marked stub, per
-round brief) — the Spark-side plumbing (schema, batching, UDF
-signatures) is real and tested either way.
+Media rows are opaque ``binary`` columns with typed metadata (images:
+w, h, fmt per the BASELINE.json input_hint schema; audio: sr, channels,
+fmt).  Decode / feature-extract / resize / frame-sample / chunk run as
+Arrow-batched ``mapInPandas`` transforms.  Real codecs in this
+container: raw RGB + minimal PNG (kernels/image.py), the deterministic
+'rawvideo' concatenated-frame container, and pcm16 audio (numpy int16);
+everything else raises NotImplementedError (clearly-marked stub, per
+round brief) — the Spark-side plumbing (schema, batching, row
+explosion, UDF signatures) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -124,14 +126,130 @@ def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB.  The container has no video codecs;
-    the operator exists to pin the API and schema (one row per sampled
-    frame, input_hint image schema + frame_idx)."""
-    raise NotImplementedError(
-        "stub: video decoding not available in this environment; "
-        "plumbing (schema: input_hint columns + frame_idx:long) is defined "
-        "but no codec backend exists"
+    """Video frame sampling: one output row per sampled frame (every
+    ``every_n``-th), input_hint image schema + ``frame_idx:long``; the
+    emitted bytes are the single frame as fmt='raw' RGB.
+
+    The Spark-side plumbing (schema, mapInPandas batching, row
+    explosion) is real and tested against fmt='rawvideo' — a
+    deterministic container of n concatenated w*h*3 RGB frames.  Real
+    codecs (mp4/webm/...) are STUBBED: no video libraries exist in this
+    container, so those rows raise NotImplementedError with the format
+    named — swap the decode branch for pyav/ffmpeg where available."""
+    fields = [
+        f if f.name != "bytes" else StructField("bytes", BinaryType())
+        for f in df.schema.fields
+    ] + [StructField("frame_idx", LongType())]
+    schema = StructType(fields)
+    names = [f.name for f in df.schema.fields]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(names, row))
+                fmt = str(d["fmt"])
+                if fmt != "rawvideo":
+                    raise NotImplementedError(
+                        f"stub: no codec for video format {fmt!r} in this "
+                        "environment (only the deterministic 'rawvideo' "
+                        "container decodes); plug a real decoder here"
+                    )
+                w, h = int(d["w"]), int(d["h"])
+                frame_bytes = w * h * 3
+                buf = bytes(d["bytes"])
+                n_frames = len(buf) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    out = dict(d)
+                    out["bytes"] = buf[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    out["fmt"] = "raw"
+                    out["frame_idx"] = fi
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=names + ["frame_idx"])
+
+    return df.mapInPandas(sample, schema=schema)
+
+
+# ------------------------------------------------------------- audio ----
+
+
+def with_audio_stats(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Decode each audio row (opaque ``bytes`` + ``sr:int`` +
+    ``channels:int`` + ``fmt:string`` metadata) and append duration_s /
+    rms / peak.  fmt='pcm16' (interleaved little-endian int16) decodes
+    for real via numpy; other formats surface null stats (the codec
+    stub — no audio libraries in this container)."""
+    keep = keep or [c for c in df.columns if c != "bytes"]
+    fields = [f for f in df.schema.fields if f.name in keep]
+    schema = StructType(
+        fields
+        + [
+            StructField("duration_s", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("peak", DoubleType()),
+        ]
     )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            dur = np.full(n, np.nan)
+            rms = np.full(n, np.nan)
+            peak = np.full(n, np.nan)
+            for i, (buf, sr, ch, fmt) in enumerate(
+                zip(pdf["bytes"], pdf["sr"], pdf["channels"], pdf["fmt"])
+            ):
+                if str(fmt) != "pcm16" or buf is None:
+                    continue
+                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64)
+                pcm /= 32768.0
+                frames = len(pcm) // max(int(ch), 1)
+                dur[i] = frames / float(sr)
+                if len(pcm):
+                    rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
+                    peak[i] = float(np.abs(pcm).max())
+            out = pdf[[f.name for f in fields]].copy()
+            out["duration_s"] = dur
+            out["rms"] = rms
+            out["peak"] = peak
+            yield out
+
+    return df.mapInPandas(stats, schema=schema)
+
+
+def audio_chunk(df: DataFrame, chunk_s: float) -> DataFrame:
+    """Explode long audio into fixed-duration chunks (the ASR-pipeline
+    unit of work): one output row per chunk with ``chunk_idx:long`` and
+    re-sliced pcm16 bytes (final partial chunk kept).  fmt='pcm16'
+    decodes for real; other formats raise (codec stub)."""
+    fields = [
+        f if f.name != "bytes" else StructField("bytes", BinaryType())
+        for f in df.schema.fields
+    ] + [StructField("chunk_idx", LongType())]
+    schema = StructType(fields)
+    names = [f.name for f in df.schema.fields]
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(names, row))
+                if str(d["fmt"]) != "pcm16":
+                    raise NotImplementedError(
+                        f"stub: no codec for audio format {d['fmt']!r}; "
+                        "only pcm16 decodes in this environment"
+                    )
+                sr, ch = int(d["sr"]), max(int(d["channels"]), 1)
+                stride = int(chunk_s * sr) * ch * 2  # bytes per chunk
+                buf = bytes(d["bytes"])
+                for ci, s in enumerate(range(0, max(len(buf), 1), stride)):
+                    out = dict(d)
+                    out["bytes"] = buf[s : s + stride]
+                    out["chunk_idx"] = ci
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=names + ["chunk_idx"])
+
+    return df.mapInPandas(chunk, schema=schema)
 
 
 def phash_dedup_pairs(df: DataFrame, max_hamming: int = 6,
