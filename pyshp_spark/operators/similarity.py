@@ -346,12 +346,82 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means codebook for :func:`ivf_topk`'s ``centroids``
+    hook — Lloyd's iterations, fully deterministic.
+
+    Init = the ``k`` lowest-id corpus vectors (L2-normalized).  Each
+    iteration is ONE distributed pass: every Arrow batch assigns its
+    (normalized) vectors to the nearest centroid by dot product (ties
+    to the lowest index) and emits per-centroid partial sums + counts;
+    the driver reduces the tiny (k x batches) partial table and
+    re-normalizes.  Empty clusters keep their previous centroid.  The
+    k-means objective (mean max-cosine to a centroid) is monotonically
+    non-decreasing — pinned in tests.  Returns a (k, dim) float64
+    matrix of unit rows."""
+    spark = corpus.sparkSession
+    init_pdf = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .orderBy("cid")
+        .limit(k)
+        .toPandas()
+    )
+    cent = np.vstack([np.asarray(v, dtype=np.float64) for v in init_pdf["cv"]])
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    vecs_df = corpus.select(F.col(corpus_vec).alias("__v"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            c = bc.value
+            kk, dim = c.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+                a = np.argmax(m @ c.T, axis=1)
+                cnt = np.bincount(a, minlength=kk)
+                sums = np.zeros((kk, dim))
+                np.add.at(sums, a, m)
+                nz = np.flatnonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "cid": nz.astype(np.int64),
+                        "cnt": cnt[nz].astype(np.int64),
+                        "vsum": list(sums[nz]),
+                    }
+                )
+
+        part = vecs_df.mapInPandas(
+            partials, schema="cid long, cnt long, vsum array<double>"
+        ).toPandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for row in part.itertuples(index=False):
+            counts[row.cid] += row.cnt
+            sums[row.cid] += np.asarray(row.vsum, dtype=np.float64)
+        norms = np.linalg.norm(sums, axis=1, keepdims=True)
+        moved = (counts > 0) & (norms[:, 0] > 1e-30)
+        cent = np.where(moved[:, None], sums / np.maximum(norms, 1e-30), cent)
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
     n_centroids: int = 64,
     n_probe: int = 4,
+    centroids: np.ndarray | None = None,
     query_id: str = "query_id",
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
@@ -360,9 +430,12 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
-    deterministic stand-in for a k-means codebook (same join topology,
-    reproducible tests); swap in trained centroids for better recall.
+    ``centroids``: a (n, dim) trained codebook (:func:`kmeans_centroids`)
+    — the recall path.  When None, centroids default to the
+    ``n_centroids`` lowest-id corpus vectors: a deterministic stand-in
+    with the same join topology whose list assignment the SQL oracle
+    can mirror (trained codebooks ride on float k-means state, so that
+    config is pytest-verified rather than SQL-mirrored).
     Each corpus vector is assigned to its nearest centroid (one numpy
     matmul per Arrow batch); queries probe their ``n_probe`` nearest
     centroid lists and candidates get an exact cosine rerank.
@@ -380,17 +453,24 @@ def ivf_topk(
     |corpus|.  At 10^12 rows the assignment column is precomputed and
     stored; only the equi-join runs per query batch.
     """
-    cent_pdf = (
-        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .toPandas()
-    )
-    cent = np.vstack([np.asarray(v, dtype=np.float64) for v in cent_pdf["cv"]])
-    if quantize:
-        cent = _quantize_np(cent, quantize)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        if quantize:
+            cent = _quantize_np(cent, quantize)
     else:
-        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        cent_pdf = (
+            corpus.select(
+                F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")
+            )
+            .orderBy("cid")
+            .limit(n_centroids)
+            .toPandas()
+        )
+        cent = np.vstack([np.asarray(v, dtype=np.float64) for v in cent_pdf["cv"]])
+        if quantize:
+            cent = _quantize_np(cent, quantize)
+        else:
+            cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cent)
 

@@ -421,6 +421,49 @@ class TestIvfAnn:
         assert bset == fset
 
 
+class TestKmeansIvf:
+    def _objective(self, emb_pdf, cent):
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in emb_pdf.embedding])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return float((m @ cent.T).max(axis=1).mean())
+
+    def test_kmeans_monotone_and_deterministic(self, spark, emb_df):
+        from pyshp_spark.operators.similarity import kmeans_centroids  # noqa: PLC0415
+
+        pdf = emb_df.limit(300).toPandas()
+        corpus = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        c0 = kmeans_centroids(corpus, k=16, iters=0)
+        c3 = kmeans_centroids(corpus, k=16, iters=3)
+        c3b = kmeans_centroids(corpus, k=16, iters=3)
+        assert np.array_equal(c3, c3b)  # deterministic
+        assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
+        # Lloyd's iterations never decrease the spherical objective
+        assert self._objective(pdf, c3) >= self._objective(pdf, c0) - 1e-12
+
+    def test_ivf_full_probe_with_trained_centroids_equals_brute(
+        self, spark, emb_df
+    ):
+        from pyshp_spark.operators.similarity import (  # noqa: PLC0415
+            cosine_topk_brute,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        pdf = emb_df.limit(150).toPandas()
+        queries = spark.createDataFrame(
+            pdf.head(10)[["vec_id", "embedding"]]
+        ).withColumnRenamed("vec_id", "query_id")
+        corpus = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+        cent = kmeans_centroids(corpus, k=12, iters=2)
+        brute = cosine_topk_brute(queries, corpus, k=4).collect()
+        full = ivf_topk(
+            queries, corpus, k=4, n_probe=12, centroids=cent
+        ).collect()
+        bset = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in brute}
+        fset = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in full}
+        assert bset == fset
+
+
 class TestIntegerPlaneOracles:
     """The int_planes / quantize variants exist so the driver gate can
     hash-check lsh_ann / ivf_ann / embedding_dedup against DuckDB.
