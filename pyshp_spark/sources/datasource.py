@@ -125,8 +125,11 @@ def _to_arrow_table(pdf, schema: StructType):
     arrow_schema = to_arrow_schema(schema)
     pdf = pdf.reindex(columns=[f.name for f in schema.fields])
     for fld in arrow_schema:
+        # any non-numeric arrow target (list, string, binary, date,
+        # bool) needs object dtype with real Nones — the reindexed
+        # NaN-float column would fail the NumPyConverter cast
         if (
-            (pa.types.is_nested(fld.type) or pa.types.is_string(fld.type))
+            not (pa.types.is_floating(fld.type) or pa.types.is_integer(fld.type))
             and pdf[fld.name].dtype != object
         ):
             col = pdf[fld.name].astype(object)

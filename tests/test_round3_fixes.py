@@ -235,6 +235,38 @@ class TestParallelStream:
             q.stop()
 
 
+class TestMixedDirTypedNulls:
+    def test_missing_dbf_yields_typed_nulls_for_all_dbf_types(
+        self, spark, tmp_path
+    ):
+        """First file declares D/L/N/C fields; second file has NO .dbf —
+        its rows must surface typed nulls (reindexed float-NaN columns
+        previously crashed the arrow cast for date/bool targets)."""
+        import datetime as dt  # noqa: PLC0415
+
+        d = tmp_path / "mixed_typed"
+        d.mkdir()
+        shp, shx = write_shp([(1, (1.0, 2.0), None, None, None)])
+        dbf = write_dbf(
+            [("N0", "N", 8, 0), ("D0", "D", 8, 0), ("L0", "L", 1, 0),
+             ("C0", "C", 10, 0)],
+            [[7, dt.date(2020, 5, 17), True, "hi"]],
+        )
+        for base, with_dbf in (("a", True), ("b", False)):
+            with open(d / f"{base}.shp", "wb") as f:
+                f.write(shp)
+            with open(d / f"{base}.shx", "wb") as f:
+                f.write(shx)
+            if with_dbf:
+                with open(d / f"{base}.dbf", "wb") as f:
+                    f.write(dbf)
+        df = spark.read.format("shapefile").load(str(d))
+        rows = {os.path.basename(r.src): r for r in df.collect()}
+        a, b = rows["a.shp"], rows["b.shp"]
+        assert (a.N0, a.D0, a.L0, a.C0) == (7, dt.date(2020, 5, 17), True, "hi")
+        assert (b.N0, b.D0, b.L0, b.C0) == (None, None, None, None)
+
+
 class TestNeardupClusters:
     def test_connected_components_min_label(self, spark):
         import pandas as pd  # noqa: PLC0415
