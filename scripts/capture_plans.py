@@ -53,8 +53,14 @@ def main():
         em.q_tile_assign(spark, sf_dir)
     )
     sections["bbox_filter"] = fmt(em.q_bbox_filter(spark, sf_dir))
-    sections["ann_cosine (per-row norms, 1 dot/pair)"] = fmt(
+    sections["ann_cosine (broadcast-queries map kernel, corpus never shuffles)"] = fmt(
         em.q_ann_cosine(spark, sf_dir)
+    )
+    sections["pip_skew (salted sort-merge path)"] = fmt(
+        em.q_pip_skew(spark, sf_dir)
+    )
+    sections["lsh_ann (integer-plane buckets + fold-kernel rerank)"] = fmt(
+        em.q_lsh_ann(spark, sf_dir)
     )
     sections["text_quality"] = fmt(em.q_text_quality(spark, sf_dir))
     from pyspark.sql import functions as F  # noqa: E402
@@ -69,6 +75,12 @@ def main():
             docs, threshold=0.6, max_df=em.TOKEN_JACCARD_MAX_DF,
             checkpoint=False,  # the checkpoint would hide the plan
         )
+    )
+
+    from pyshp_spark.operators.dedup import minhash_dedup_pairs  # noqa: E402
+
+    sections["minhash_pairs (text-free band exchange)"] = fmt(
+        minhash_dedup_pairs(docs, threshold=0.5, checkpoint=False)
     )
 
     out = []
