@@ -160,6 +160,7 @@ def _hash64(b: bytes) -> int:
 
 
 _HASH_CHUNK = 16384  # items per padded matrix (~2 MB at 16-byte items)
+_HASH_LONG_ITEM = 512  # items longer than this hash via the scalar path
 
 
 def _hash64_np(items: list[bytes]) -> np.ndarray:
@@ -169,7 +170,14 @@ def _hash64_np(items: list[bytes]) -> np.ndarray:
     per-item hashing loop.  Work is chunked so every temporary stays
     cache-resident: this host (like any oversubscribed node) is
     DRAM-bandwidth-starved, and a single full-batch padded matrix would
-    run 10x slower than the same flops against L2."""
+    run 10x slower than the same flops against L2.
+
+    Items longer than ``_HASH_LONG_ITEM`` bytes take the scalar path
+    instead: the padded matrix is O(chunk_rows * max_len), so ONE 64 kB
+    unbroken token (base64 blob, long URL — routine in web corpora)
+    would otherwise inflate a 16384-row chunk into gigabytes of
+    temporaries.  Long items are rare by definition, so the per-item
+    loop over them is negligible."""
     n = len(items)
     out = np.empty(n, dtype=np.uint64)
     base = np.uint64(_FP_BASE_I)
@@ -178,11 +186,22 @@ def _hash64_np(items: list[bytes]) -> np.ndarray:
         chunk = items[s : s + _HASH_CHUNK]
         cn = len(chunk)
         lens = np.fromiter((len(b) for b in chunk), dtype=np.int64, count=cn)
+        long_mask = lens > _HASH_LONG_ITEM
+        has_long = bool(long_mask.any())
+        if has_long:
+            for i in np.flatnonzero(long_mask):
+                out[s + int(i)] = _hash64(chunk[int(i)])
+            lens = np.where(long_mask, 0, lens)
         total = int(lens.sum())
         h = np.zeros(cn, dtype=np.uint64)
         if total:
             max_len = int(lens.max())
-            flat = np.frombuffer(b"".join(chunk), dtype=np.uint8).astype(np.uint64)
+            short = (
+                b"".join(b for b in chunk if len(b) <= _HASH_LONG_ITEM)
+                if has_long
+                else b"".join(chunk)
+            )
+            flat = np.frombuffer(short, dtype=np.uint8).astype(np.uint64)
             buf = np.zeros((cn, max_len), dtype=np.uint64)
             ends = np.cumsum(lens)
             rows = np.repeat(np.arange(cn), lens)
@@ -194,7 +213,11 @@ def _hash64_np(items: list[bytes]) -> np.ndarray:
         h ^= h >> np.uint64(33)
         h *= np.uint64(_MIX_MULT)
         h ^= h >> np.uint64(29)
-        out[s : s + cn] = h
+        if has_long:
+            keep = ~long_mask
+            out[s : s + cn][keep] = h[keep]
+        else:
+            out[s : s + cn] = h
     return out
 
 

@@ -136,6 +136,8 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     codecs (mp4/webm/...) are STUBBED: no video libraries exist in this
     container, so those rows raise NotImplementedError with the format
     named — swap the decode branch for pyav/ffmpeg where available."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     fields = [
         f if f.name != "bytes" else StructField("bytes", BinaryType())
         for f in df.schema.fields
@@ -157,6 +159,8 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                     )
                 w, h = int(d["w"]), int(d["h"])
                 frame_bytes = w * h * 3
+                if frame_bytes <= 0 or d["bytes"] is None:
+                    continue  # corrupt header: zero frames, not a crash
                 buf = bytes(d["bytes"])
                 n_frames = len(buf) // frame_bytes
                 for fi in range(0, n_frames, every_n):
@@ -199,15 +203,22 @@ def with_audio_stats(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
             for i, (buf, sr, ch, fmt) in enumerate(
                 zip(pdf["bytes"], pdf["sr"], pdf["channels"], pdf["fmt"])
             ):
-                if str(fmt) != "pcm16" or buf is None:
+                # corrupt-tolerant like with_image_stats: bad metadata
+                # (sr<=0, null channels, odd byte length) -> null stats
+                try:
+                    if str(fmt) != "pcm16" or buf is None or int(sr) <= 0:
+                        continue
+                    raw = bytes(buf)
+                    raw = raw[: len(raw) - (len(raw) % 2)]
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    pcm /= 32768.0
+                    frames = len(pcm) // max(int(ch), 1)
+                    dur[i] = frames / float(sr)
+                    if len(pcm):
+                        rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
+                        peak[i] = float(np.abs(pcm).max())
+                except (TypeError, ValueError):
                     continue
-                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64)
-                pcm /= 32768.0
-                frames = len(pcm) // max(int(ch), 1)
-                dur[i] = frames / float(sr)
-                if len(pcm):
-                    rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
-                    peak[i] = float(np.abs(pcm).max())
             out = pdf[[f.name for f in fields]].copy()
             out["duration_s"] = dur
             out["rms"] = rms
@@ -222,6 +233,8 @@ def audio_chunk(df: DataFrame, chunk_s: float) -> DataFrame:
     unit of work): one output row per chunk with ``chunk_idx:long`` and
     re-sliced pcm16 bytes (final partial chunk kept).  fmt='pcm16'
     decodes for real; other formats raise (codec stub)."""
+    if chunk_s <= 0:
+        raise ValueError(f"chunk_s must be > 0, got {chunk_s}")
     fields = [
         f if f.name != "bytes" else StructField("bytes", BinaryType())
         for f in df.schema.fields
@@ -240,7 +253,9 @@ def audio_chunk(df: DataFrame, chunk_s: float) -> DataFrame:
                         "only pcm16 decodes in this environment"
                     )
                 sr, ch = int(d["sr"]), max(int(d["channels"]), 1)
-                stride = int(chunk_s * sr) * ch * 2  # bytes per chunk
+                # floor of one frame: chunk_s*sr < 1 (or sr=0 junk) must
+                # not produce a zero range step
+                stride = max(int(chunk_s * sr), 1) * ch * 2  # bytes/chunk
                 buf = bytes(d["bytes"])
                 for ci, s in enumerate(range(0, max(len(buf), 1), stride)):
                     out = dict(d)

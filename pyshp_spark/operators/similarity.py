@@ -72,11 +72,14 @@ def _fold_norms(m: np.ndarray) -> np.ndarray:
 
 
 def cosine_pair_udf():
-    """Rounded cosine over PAIR ROWS (two array columns), vectorized
-    per Arrow batch with the exact fold accumulation order of
-    ``cosine_expr`` — bit-identical to the Column-expression path, so
-    swapping it into a rerank keeps the DuckDB oracles hash-green while
-    removing ~3*d interpreted Catalyst lambda calls per pair."""
+    """RAW (unrounded) cosine over PAIR ROWS (two array columns),
+    vectorized per Arrow batch with the exact fold accumulation order
+    of ``cosine_expr`` — bit-identical to the Column-expression dot, so
+    swapping it into a rerank removes ~3*d interpreted Catalyst lambda
+    calls per pair without touching values.  Callers apply
+    ``F.round(col, 6)`` JVM-side, so rounding semantics (Java
+    BigDecimal HALF_UP) stay EXACTLY the expression path's — np.round's
+    ties-to-even would silently diverge on exact .5*1e-6 ties."""
 
     @F.pandas_udf("double")
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -91,9 +94,30 @@ def cosine_pair_udf():
             dot += a[:, j] * b[:, j]
             na += a[:, j] * a[:, j]
             nb += b[:, j] * b[:, j]
-        return pd.Series(np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6))
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
     return cos
+
+
+def _round6(v: np.ndarray) -> np.ndarray:
+    """round(x, 6) matching Spark's F.round on doubles (BigDecimal of
+    the shortest decimal repr, HALF_UP).  np.round handles everything
+    except near-tie values (ties-to-even + binary-scaling error), so
+    values whose scaled fraction sits within 1e-7 of .5 are re-rounded
+    exactly through decimal arithmetic on repr(x) — the same shortest
+    repr BigDecimal.valueOf uses."""
+    scaled = v * 1e6
+    out = np.round(scaled) / 1e6
+    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-7
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+        q = Decimal("0.000001")
+        for i in np.flatnonzero(near):
+            out[i] = float(
+                Decimal(repr(float(v[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
 
 
 def cosine_topk_brute(
@@ -156,7 +180,9 @@ def cosine_topk_brute(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
             )
             cn = _fold_norms(cm)
-            cos = np.round(_fold_dots(qm_, cm) / (qn_[:, None] * cn[None, :]), 6)
+            cos = _round6(
+                (_fold_dots(qm_, cm) / (qn_[:, None] * cn[None, :])).ravel()
+            ).reshape(nq, -1)
             cids = pdf["vec_id"].to_numpy()
             # per-batch top-k per query under the global total order
             # (-cosine, vec_id): batch winners are the only possible
@@ -319,24 +345,25 @@ def lsh_topk(
         F.col(query_vec).alias("__qv"),
         bucket(F.col(query_vec)).alias("__b0"),
     )
+    # every bucket within Hamming distance <= probe_bits of the query's
+    # own bucket: sum_{r<=probe_bits} C(n_planes, r) probe rows (query
+    # side only) — equivalent to a bit_count(xor) <= probe_bits join
+    from itertools import combinations  # noqa: PLC0415
+
     probes = [F.col("__b0")]
-    if probe_bits >= 1:
-        probes += [
-            F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
-        ]
-    if probe_bits >= 2:
-        probes += [
-            F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    for r in range(1, probe_bits + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(F.col("__b0").bitwiseXOR(F.lit(mask)))
     q = q.withColumn("__bucket", F.explode(F.array(*probes)))
     cand = F.broadcast(q).join(c, on="__bucket").dropDuplicates(["query_id", "vec_id"])
     # fold-order pandas kernel, not the HOF expression: Catalyst
     # interprets aggregate/zip_with per element (~3*dim lambda calls
     # per candidate pair); values are bit-identical (same fold order)
     scored = cand.withColumn(
-        "cosine", cosine_pair_udf()(F.col("__qv"), F.col("__cv"))
+        "cosine", F.round(cosine_pair_udf()(F.col("__qv"), F.col("__cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -372,6 +399,11 @@ def kmeans_centroids(
         .limit(k)
         .toPandas()
     )
+    if len(init_pdf) == 0:
+        raise ValueError("kmeans_centroids: corpus is empty")
+    # fewer corpus rows than k: train what exists (counts/sums below
+    # must be sized by the ACTUAL centroid count or broadcasting fails)
+    k = min(k, len(init_pdf))
     cent = np.vstack([np.asarray(v, dtype=np.float64) for v in init_pdf["cv"]])
     cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
     vecs_df = corpus.select(F.col(corpus_vec).alias("__v"))
@@ -508,7 +540,7 @@ def ivf_topk(
     )
     cand = F.broadcast(q).join(c, on="__list")
     scored = cand.withColumn(
-        "cosine", cosine_pair_udf()(F.col("__qv"), F.col("__cv"))
+        "cosine", F.round(cosine_pair_udf()(F.col("__qv"), F.col("__cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -552,7 +584,9 @@ def embedding_dedup_pairs(
     return (
         left.join(right, on="__bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_pair_udf()(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cosine", F.round(cosine_pair_udf()(F.col("__va"), F.col("__vb")), 6)
+        )
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])

@@ -102,8 +102,10 @@ def _dbf_field_specs(shp_path: str) -> list[tuple[str, str, int]]:
     off = 0
     while off < len(rest) and rest[off : off + 1] != b"\x0d":
         raw = rest[off : off + 32]
+        if len(raw) < 18:
+            break  # truncated descriptor (corrupt header): stop cleanly
         name = raw[:11].split(b"\x00", 1)[0].decode("ascii", "replace")
-        specs.append((name, chr(raw[11]) if len(raw) > 11 else "C", raw[17]))
+        specs.append((name, chr(raw[11]), raw[17]))
         off += 32
     return specs
 
@@ -435,18 +437,41 @@ class ShapefileDataSource(DataSource):
         table = pa.Table.from_pandas(sample.head(10), preserve_index=False)
         # an all-None sample column (2D file's z/m, empty first file)
         # infers as arrow null — unusable downstream and un-convertible
-        # by read(); pin such columns to their real ingest types
+        # by read(); pin such columns to their real ingest types.  dbf
+        # columns get the type their DESCRIPTOR declares (read from
+        # every file's header), so an empty first file cannot degrade a
+        # date column to string.
         known = {
+            "wkb": pa.binary(),
             "z": pa.list_(pa.float64()),
             "m": pa.list_(pa.float64()),
             "part_types": pa.list_(pa.int32()),
         }
+        for p in paths:
+            for name, ftype, decimal in _dbf_field_specs(p):
+                if name in known:
+                    continue
+                if ftype in "NF" and not decimal:
+                    known[name] = pa.int64()
+                elif ftype in "NF":
+                    known[name] = pa.float64()
+                elif ftype == "D":
+                    known[name] = pa.date32()
+                elif ftype == "L":
+                    known[name] = pa.bool_()
+                else:
+                    known[name] = pa.string()
         schema = table.schema
         for i, fld in enumerate(schema):
             if pa.types.is_null(fld.type):
                 schema = schema.set(
                     i, pa.field(fld.name, known.get(fld.name, pa.string()))
                 )
+            elif n == 0 and fld.name in known:
+                # zero-row first file: pandas degrades empty object
+                # columns (dates, strings) through the merge — the dbf
+                # descriptor knows the real type
+                schema = schema.set(i, pa.field(fld.name, known[fld.name]))
         return from_arrow_schema(schema)
 
     def reader(self, schema: StructType) -> DataSourceReader:

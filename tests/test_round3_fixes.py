@@ -8,7 +8,9 @@ import os
 import time
 import warnings
 
+import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from pyshp_spark.sources.shapefile import parse_dbf_bytes
 from pyshp_spark.sources.shp_writer import (
@@ -303,6 +305,149 @@ class TestNeardupClusters:
         )
         cc = {r.id: r.root for r in connected_components(pairs).collect()}
         assert cc == {i: 0 for i in range(n)}
+
+
+class TestReviewFixes:
+    """Round-3 self-review findings, each pinned."""
+
+    def test_hash64_long_item_no_padded_blowup(self):
+        from pyshp_spark.operators.dedup import _hash64, _hash64_np
+
+        # one 64 kB token among short ones: scalar path for the long
+        # item, vectorized for the rest — identical values, bounded RAM
+        items = [b"short%d" % i for i in range(1000)]
+        items[500] = b"x" * 65536
+        items[0] = b""
+        got = _hash64_np(items)
+        for i in (0, 1, 499, 500, 501, 999):
+            assert int(got[i]) == _hash64(items[i]), i
+
+    def test_round6_matches_spark_round_on_ties(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.similarity import _round6  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        vals = [2.5e-6, -2.5e-6, 3.5e-6, 1.0000005, 0.1234565,
+                0.9999995, 0.123456499999, 7.0000004999]
+        df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+        want = [r.r for r in df.select(F.round("v", 6).alias("r")).collect()]
+        got = list(_round6(np.array(vals)))
+        assert got == want
+
+    def test_lsh_probe_bits_3_matches_sql_mirror(self, spark):
+        from pyshp_spark.operators.similarity import lsh_ann_sql, lsh_topk  # noqa: PLC0415
+
+        import duckdb  # noqa: PLC0415
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where((F.col("vec_id") % 100) == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in lsh_topk(
+                queries, emb, k=3, dim=64, n_planes=6, probe_bits=3,
+                int_planes=True,
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'"
+        )
+        want = sorted(
+            (r[0], r[1], r[3])
+            for r in con.execute(
+                lsh_ann_sql("embeddings", "(vec_id % 100) = 0", k=3, dim=64,
+                            n_planes=6, probe_bits=3)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_audio_guards(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.multimodal import (  # noqa: PLC0415
+            audio_chunk,
+            with_audio_stats,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "audio_id": ["sr0", "odd", "ok"],
+                "bytes": [b"\x01\x02\x03\x04", b"\x01\x02\x03", b"\x01\x02" * 8],
+                "sr": np.array([0, 8, 8], dtype=np.int32),
+                "channels": np.array([1, 1, 1], dtype=np.int32),
+                "fmt": ["pcm16", "pcm16", "pcm16"],
+            }
+        )
+        rows = {r.audio_id: r for r in
+                with_audio_stats(spark.createDataFrame(pdf)).collect()}
+        assert rows["sr0"].rms is None  # sr=0 -> null stats, not a crash
+        assert rows["odd"].duration_s is not None  # odd buffer truncated
+        assert rows["ok"].duration_s == 1.0
+        # stride floor: chunk_s*sr < 1 must not produce step 0
+        out = audio_chunk(
+            spark.createDataFrame(pdf.tail(1)), chunk_s=0.01
+        ).collect()
+        assert len(out) > 0
+        with pytest.raises(ValueError):
+            audio_chunk(spark.createDataFrame(pdf.tail(1)), chunk_s=0)
+
+    def test_frame_sample_guards(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.multimodal import frame_sample  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["bad"], "bytes": [b"\x00" * 12],
+                "w": np.array([0], dtype=np.int32),
+                "h": np.array([2], dtype=np.int32), "fmt": ["rawvideo"],
+            }
+        )
+        # zero-area header: zero frames, not ZeroDivisionError
+        assert frame_sample(spark.createDataFrame(pdf)).count() == 0
+        with pytest.raises(ValueError):
+            frame_sample(spark.createDataFrame(pdf), every_n=0)
+
+    def test_kmeans_small_corpus(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        from pyshp_spark.operators.similarity import kmeans_centroids  # noqa: PLC0415
+
+        rng = np.random.default_rng(2)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(5),
+                "embedding": [rng.standard_normal(8).astype(np.float32).tolist()
+                              for _ in range(5)],
+            }
+        )
+        cent = kmeans_centroids(spark.createDataFrame(pdf), k=16, iters=2)
+        assert cent.shape == (5, 8)  # clamped to corpus size, no crash
+
+    def test_empty_first_file_keeps_date_type(self, spark, tmp_path):
+        import datetime as dt  # noqa: PLC0415
+
+        d = tmp_path / "empty_first"
+        d.mkdir()
+        empty_shp, empty_shx = write_shp([])
+        empty_dbf = write_dbf([("D0", "D", 8, 0)], [])
+        shp, shx = write_shp([(1, (1.0, 2.0), None, None, None)])
+        dbf = write_dbf([("D0", "D", 8, 0)], [[dt.date(2021, 3, 4)]])
+        # "a" sorts first and has ZERO rows: the D column must still
+        # infer as date (descriptor-typed), not degrade to string
+        for base, s3, x3, d3 in (("a", empty_shp, empty_shx, empty_dbf),
+                                 ("b", shp, shx, dbf)):
+            for ext, data in (("shp", s3), ("shx", x3), ("dbf", d3)):
+                with open(d / f"{base}.{ext}", "wb") as f:
+                    f.write(data)
+        df = spark.read.format("shapefile").load(str(d))
+        assert dict(df.dtypes)["D0"] == "date"
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].D0 == dt.date(2021, 3, 4)
 
 
 class TestMinhashShuffleShape:
