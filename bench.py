@@ -128,6 +128,23 @@ def _scaled_pts(em, spark, sf_dir: str, factor: int):
     )
 
 
+def _memcpy_gbps(n=20_000_000, repeats=3):
+    """Single-thread memcpy bandwidth — the shared-host load proxy.
+    This box's DRAM is shared with co-tenants; when this number drops,
+    multi-worker levels (local[8]) degrade far more than local[2], so
+    scaling-efficiency readings are only comparable at similar
+    bandwidth (see BENCH.md 'Why N=2')."""
+    import numpy as np
+
+    a = np.arange(n)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        a.copy()
+        best = min(best, time.perf_counter() - t0)
+    return round(n * 8 / best / 1e9, 2)
+
+
 def scaling(levels=(2, 8), factor=30, repeats=4):
     """Same PIP-join probe + identical input at local[N] and local[4N]:
     throughput both ways + scaling efficiency (sandbox proxy for N vs
@@ -163,6 +180,7 @@ def scaling(levels=(2, 8), factor=30, repeats=4):
             "sec_all": [round(w, 3) for w in walls],
             "points_per_sec": round(n_pts / best, 1),
             "output_rows": rows,
+            "host_memcpy_gbps": _memcpy_gbps(),
         }
         spark.stop()
     lo, hi = f"local[{levels[0]}]", f"local[{levels[-1]}]"
