@@ -513,11 +513,21 @@ def minhash_dedup_pairs(
 
     @F.pandas_udf("double")
     def true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = shingles(x, width), shingles(y, width)
-            u = len(sa | sb)
-            out[i] = len(sa & sb) / u if u else 0.0
+        # Factorize both sides together so each UNIQUE text shingles
+        # exactly once per batch: a hot doc that appears in k candidate
+        # pairs pays one shingles() call, not k.  The remaining per-pair
+        # work is two C-level frozenset intersections.
+        both = pd.concat([ta, tb], ignore_index=True).fillna("")
+        codes, uniques = pd.factorize(both)
+        sets = [shingles(u, width) for u in uniques]
+        n = len(ta)
+        out = np.empty(n)
+        ca, cb = codes[:n], codes[n:]
+        for i in range(n):
+            sa, sb = sets[ca[i]], sets[cb[i]]
+            inter = len(sa & sb)
+            u = len(sa) + len(sb) - inter
+            out[i] = inter / u if u else 0.0
         return pd.Series(out)
 
     out = (
@@ -539,6 +549,9 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    on_round=None,
 ) -> DataFrame:
     """(id, root) for every id in the pair-edge graph; root = the
     smallest id in the connected component.
@@ -549,52 +562,86 @@ def connected_components(
     halves the remaining distance to the component root, so rounds are
     O(log diameter) — a million-node chain resolves in ~20 rounds, not
     a million (``max_iter`` is the backstop and raises if hit).  All
-    data work is joins + groupBy-min; the driver only orchestrates
-    rounds, and each round's labels are localCheckpoint'd so lineage
-    stays flat.
+    data work is joins + groupBy-min; the driver only orchestrates.
+
+    Durability / per-round cost:
+
+    * Each round runs ONE job: the new labels carry the previous label
+      as a ``__old`` column, so materializing them and counting the
+      changed rows is a single scan — no separate convergence join.
+    * Every ``checkpoint_every`` rounds the labels are checkpointed to
+      truncate plan depth and lineage.  With ``checkpoint_dir`` set
+      this is a RELIABLE ``checkpoint()`` (HDFS/disk — survives
+      executor loss, the right mode for a multi-hour 100 TB run);
+      without it, ``localCheckpoint`` (executor-memory blocks, NOT
+      fault-tolerant — one lost executor kills a long run, fine for
+      short jobs).  Off-rounds use cache, and the PREVIOUS round's
+      cache is released once the new one is materialized, so peak
+      storage is O(1) rounds, not O(rounds).
+    * ``on_round(round_idx, labels_df)`` is called after each round —
+      a test/monitoring hook (e.g. simulate cache eviction).
     """
-    und = (
+    spark = pairs.sparkSession
+    reliable = checkpoint_dir is not None
+    if reliable:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    und = _truncate(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _truncate(
         und.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    )
+    prev_cached: DataFrame | None = None
+    for r in range(max_iter):
         nbr = (
-            und.join(labels.withColumnRenamed("id", "b"), on="b")
+            und.join(labels.select(F.col("id").alias("b"), "lbl"), on="b")
             .select(F.col("a").alias("id"), "lbl")
             .groupBy("id")
             .agg(F.min("lbl").alias("nlbl"))
         )
         stepped = labels.join(nbr, on="id", how="left").select(
             "id",
+            F.col("lbl").alias("__old"),
             F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
         # pointer doubling: follow my label to ITS label and take the
         # min — jumps 2^r-hop chains in r rounds
-        hop = stepped.select(
-            F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+        hop = stepped.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = stepped.join(hop, on="lbl", how="left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("lbl2", "lbl")).alias("lbl"),
+            "__old",
         )
-        new = (
-            stepped.join(hop, on="lbl", how="left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce("lbl2", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new.withColumnRenamed("lbl", "nl")
-            .join(labels, on="id")
-            .where(F.col("nl") != F.col("lbl"))
-            .count()
-        )
-        labels = new
+        if (r + 1) % checkpoint_every == 0:
+            new = _truncate(new)  # materializes (eager) AND cuts lineage
+        else:
+            new = new.persist()
+        # ONE action: materializes the cache/checkpoint scan and counts
+        # the changed rows in the same pass over the new labels
+        changed = new.where(F.col("lbl") != F.col("__old")).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+            prev_cached = None
+        if new.storageLevel.useMemory or new.storageLevel.useDisk:
+            prev_cached = new
+        labels = new.select("id", "lbl")
+        if on_round is not None:
+            on_round(r, labels)
         if changed == 0:
-            return labels.select("id", F.col("lbl").alias("root"))
+            out = labels.select("id", F.col("lbl").alias("root"))
+            # detach the result from the soon-to-be-unpersisted cache
+            out = _truncate(out)
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            return out
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

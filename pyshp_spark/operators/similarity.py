@@ -560,6 +560,8 @@ def embedding_dedup_pairs(
     seed: int = 5,
     int_planes: bool = False,
     scale: int = 1000,
+    checkpoint: bool = True,
+    max_broadcast_bytes: int = 1_500_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with cosine >= tau, LSH-blocked.
 
@@ -569,27 +571,66 @@ def embedding_dedup_pairs(
     guaranteed.  ``int_planes=True`` uses the deterministic integer
     ±1 planes so the blocked pair set has an exact DuckDB mirror
     (:func:`embedding_dedup_sql`).
+
+    Shuffle shape: the bucket self-join carries ONLY (id, bucket) —
+    never the embedding vectors; at d=1024 that turns a vector-
+    dominated exchange into a 16-byte-per-row one.  Vectors re-attach
+    to the (far smaller, deduped) candidate-pair set before the
+    exact-cosine rerank.  With ``checkpoint=True`` (default) the pair
+    ids are materialized once and, when the pair set fits
+    ``max_broadcast_bytes`` with a vector attached (the common
+    near-dup case: pairs << corpus), the attach joins BROADCAST the
+    pair side — the corpus vectors never shuffle at all, so exchange
+    volume is flat in the embedding dimension.  Oversized pair sets
+    (or ``checkpoint=False``) fall back to plain equi-joins: the
+    corpus vectors cross one exchange per attach — pre-bucketing the
+    embeddings table by ``vec_id`` (plans/layout.py) removes even
+    that at rest.
     """
     bucket = lsh_bucket_udf(dim, n_planes, seed, int_planes=int_planes, scale=scale)
     b = df.select(
-        F.col(vec_id).alias("id"), F.col(vec).alias("__v"),
-        bucket(F.col(vec)).alias("__bucket"),
+        F.col(vec_id).alias("id"), bucket(F.col(vec)).alias("__bucket")
     )
-    left = b.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
-    )
-    right = b.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
-    )
-    return (
-        left.join(right, on="__bucket")
+    pair_ids = (
+        b.select(F.col("id").alias("id_a"), "__bucket")
+        .join(b.select(F.col("id").alias("id_b"), "__bucket"), on="__bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(vec_id).alias("__vid"), F.col(vec).alias("__v"))
+    broadcast_attach = False
+    if checkpoint:
+        # materialize the pair ids once (16 B/row): both attach joins
+        # reuse the blocks instead of recomputing the bucket join, and
+        # the count makes the broadcast guard byte-aware
+        pair_ids = pair_ids.localCheckpoint(eager=True)
+        npairs = pair_ids.count()
+        attached_row_bytes = dim * 8 + 48  # one vector + ids + struct overhead
+        broadcast_attach = npairs * attached_row_bytes * 1.2 <= max_broadcast_bytes
+    if broadcast_attach:
+        # corpus streams map-side against the broadcast pair set in
+        # BOTH attach joins — zero vector bytes through any exchange
+        j1 = vecs.join(
+            F.broadcast(pair_ids), on=vecs["__vid"] == pair_ids["id_a"]
+        ).select("id_a", "id_b", F.col("__v").alias("__va"))
+        cand = vecs.join(
+            F.broadcast(j1), on=vecs["__vid"] == j1["id_b"]
+        ).select("id_a", "id_b", "__va", F.col("__v").alias("__vb"))
+    else:
+        cand = pair_ids.join(
+            vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va")),
+            on="id_a",
+        ).join(
+            vecs.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb")),
+            on="id_b",
+        )
+    return (
+        cand.withColumn(
             "cosine", F.round(cosine_pair_udf()(F.col("__va"), F.col("__vb")), 6)
         )
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
