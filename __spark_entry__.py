@@ -566,6 +566,77 @@ def q_geojson_export(spark, sf_dir):
     )
 
 
+PHASH_MAX_HAMMING = 6
+
+
+def _phash_spark_expr() -> str:
+    """Deterministic int64 'perceptual hash' derived from doc keys (the
+    container has no image codecs, so the gate exercises the REAL
+    banding + popcount plan over a key-derived hash, like the diamond
+    geometry derivation): docs cluster in groups of 4 sharing a base
+    hash (two 32/30-bit Knuth-multiplier words), and each member flips
+    0-3 low-62 bits — so intra-cluster pairs sit at Hamming <= 6.  All
+    arithmetic stays far under 2^63; :func:`_phash_duck_expr` is the
+    token-for-token DuckDB mirror."""
+    ph = (
+        "(CAST(((doc_id DIV 4) * 2654435761) % 1073741824 AS BIGINT)"
+        " * 4294967296"
+        " + ((doc_id DIV 4) * 40503 + 9973) % 4294967296)"
+    )
+    for j in (1, 2, 3):
+        mask = (
+            f"(CASE WHEN doc_id % 4 >= {j} THEN "
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST((doc_id * 37 + {j * 17}) % 62 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+        ph = f"({ph} ^ {mask})"
+    return ph
+
+
+def _phash_duck_expr() -> str:
+    ph = (
+        "((((doc_id // 4) * 2654435761) % 1073741824) * 4294967296"
+        " + ((doc_id // 4) * 40503 + 9973) % 4294967296)"
+    )
+    for j in (1, 2, 3):
+        mask = (
+            f"(CASE WHEN doc_id % 4 >= {j} THEN "
+            f"(1::BIGINT << CAST((doc_id * 37 + {j * 17}) % 62 AS INTEGER)) "
+            f"ELSE 0::BIGINT END)"
+        )
+        ph = f"xor({ph}, {mask})"
+    return ph
+
+
+def q_phash_dedup(spark, sf_dir):
+    from pyshp_spark.operators.multimodal import phash_dedup_pairs  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(_phash_spark_expr()).alias("phash"),
+    )
+    return phash_dedup_pairs(imgs, max_hamming=PHASH_MAX_HAMMING)
+
+
+def phash_dedup_oracle_sql() -> str:
+    """Brute-force mirror: pigeonhole banding is recall-complete for
+    any Hamming radius in [0, 63] (multimodal.phash_dedup_pairs), so
+    the banded + popcount-verified output equals ALL pairs at
+    bit_count(xor) <= max_hamming."""
+    return f"""
+        WITH p AS (
+            SELECT doc_id AS image_id, {_phash_duck_expr()} AS phash
+            FROM documents
+        )
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               bit_count(xor(a.phash, b.phash)) AS hamming
+        FROM p a JOIN p b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    """
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -605,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "geojson_export": q_geojson_export,
+        "phash_dedup": q_phash_dedup,
     }
 
 
@@ -775,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
             minhash_pairs_sql("documents", threshold=0.5), "documents"
         ),
         "simhash_pairs": simhash_pairs_sql("documents", max_hamming=3),
+        "phash_dedup": phash_dedup_oracle_sql(),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

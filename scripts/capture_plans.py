@@ -56,9 +56,19 @@ def main():
     sections["ann_cosine (broadcast-queries map kernel, corpus never shuffles)"] = fmt(
         em.q_ann_cosine(spark, sf_dir)
     )
-    sections["pip_skew (salted sort-merge path)"] = fmt(
+    # capture the salted plan with broadcasting disabled: at sf0.001 the
+    # exploded build side slides under autoBroadcastJoinThreshold and
+    # Catalyst broadcasts regardless, which is NOT the plan this section
+    # documents (round-3 caption mismatch) — the no-broadcast config is
+    # the shape the join takes at real scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sections["pip_skew (salted sort-merge path; captured with "
+             "autoBroadcastJoinThreshold=-1 = the at-scale shape)"] = fmt(
         em.q_pip_skew(spark, sf_dir)
     )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.enabled")
     sections["lsh_ann (integer-plane buckets + fold-kernel rerank)"] = fmt(
         em.q_lsh_ann(spark, sf_dir)
     )
@@ -81,6 +91,22 @@ def main():
 
     sections["minhash_pairs (text-free band exchange)"] = fmt(
         minhash_dedup_pairs(docs, threshold=0.5, checkpoint=False)
+    )
+
+    from pyshp_spark.operators.similarity import embedding_dedup_pairs  # noqa: E402
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sections["embedding_dedup (vector-free bucket exchange; "
+             "checkpoint=False lazy shape, broadcast forced off)"] = fmt(
+        embedding_dedup_pairs(
+            emb, tau=0.95, dim=em.EMB_DIM, int_planes=True, checkpoint=False
+        )
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    sections["phash_dedup (pigeonhole banding + popcount verify)"] = fmt(
+        em.q_phash_dedup(spark, sf_dir)
     )
 
     out = []
