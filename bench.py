@@ -67,14 +67,32 @@ def workload_map():
     }
 
 
-def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
-    """Returns ({query: seconds}, {query: output_rows})."""
-    times, rows = {}, {}
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, dict]:
+    """Returns ({query: median_sec}, {query: min}, {query: max},
+    {query: output_rows}).  Each query runs ``REPEATS`` times — this
+    shared host's single-run walls vary 2-3x, and round-3's two
+    'regressions' were indistinguishable from that noise; medians
+    settle it."""
+    med, lo, hi, rows = {}, {}, {}, {}
     for name, fn in workload_map().items():
-        t0 = time.time()
-        rows[name] = _count(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-    return times, rows
+        walls = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            rows[name] = _count(fn(spark, sf_dir))
+            walls.append(time.time() - t0)
+        med[name] = round(_median(walls), 3)
+        lo[name] = round(min(walls), 3)
+        hi[name] = round(max(walls), 3)
+    return med, lo, hi, rows
 
 
 def input_rows(spark, sf_dir: str) -> int:
@@ -91,7 +109,7 @@ def main():
     # steady-state throughput rather than first-call JIT/startup noise
     for fn in workload_map().values():
         fn(spark, "/root/testdata/sf0.001").count()
-    times, rows = run_queries(spark, SF_DIR)
+    times, tmin, tmax, rows = run_queries(spark, SF_DIR)
     n_points = input_rows(spark, SF_DIR)
     total = sum(times.values())
     # headline: PIP join throughput in input points/sec
@@ -100,16 +118,100 @@ def main():
         "metric": "spatial-join points/sec (PIP filter-refine, sf lineitem-derived)",
         "value": round(pip_rate, 1),
         "unit": "rows/sec",
-        "queries": times,
+        "queries": times,  # median of REPEATS runs per query
+        "queries_min": tmin,
+        "queries_max": tmax,
+        "repeats": REPEATS,
         "output_rows": rows,
         "input_points": n_points,
         "total_sec": round(total, 3),
+        "layout_repeat_join": layout_bench(spark, SF_DIR),
         "wall_sec": round(time.time() - t_all, 3),
         "cpus": CPUS,
         "sf": SF_DIR,
     }
     spark.stop()
     print(json.dumps(result))
+
+
+def layout_bench(spark, sf_dir: str, iters: int = 3, num_buckets: int = 32):
+    """The persistent cell-bucketed layout win (plans/layout.py),
+    measured: write the fact points and a per-cell rollup ONCE as
+    bucketed tables, then run the repeated cell equi-join — the
+    steady-state workload shape — against plain-parquet twins of the
+    same data.  Broadcast is disabled so both variants face the join
+    the way a 100 TB run would (neither side fits an executor);
+    bucketing metadata proves co-partitioning, so the bucketed plan
+    has ZERO exchanges (asserted) and each iteration skips the shuffle
+    the plain plan pays every time."""
+    import __spark_entry__ as em
+    from pyshp_spark.plans.layout import (
+        cell_bucketed_join,
+        explain_has_exchange,
+        save_cell_bucketed,
+        with_cell,
+    )
+    from pyspark.sql import functions as F
+
+    # x8 replication: the fact side must be big enough that the per-
+    # iteration shuffle (not task overhead) dominates the plain plan —
+    # the regime every later scale-up deepens
+    pts = with_cell(em._pts(spark, sf_dir, spread=False), em.ENTRY_GRID)
+    pts = (
+        pts.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn("point_id", F.col("point_id") * 8 + F.col("rep"))
+        .drop("rep")
+    )
+    roll = pts.groupBy("cell").agg(
+        F.count("*").alias("n_in_cell"),
+        F.avg("x").alias("cx"),
+        F.avg("y").alias("cy"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        save_cell_bucketed(pts, "bench_pts_bucketed", num_buckets=num_buckets)
+        save_cell_bucketed(roll, "bench_cells_bucketed", num_buckets=num_buckets)
+        layout_sec = time.time() - t0
+        pts.write.mode("overwrite").format("parquet").saveAsTable("bench_pts_plain")
+        roll.write.mode("overwrite").format("parquet").saveAsTable(
+            "bench_cells_plain"
+        )
+        bucketed = cell_bucketed_join(
+            spark, "bench_pts_bucketed", "bench_cells_bucketed"
+        )
+        plain = spark.table("bench_pts_plain").join(
+            spark.table("bench_cells_plain"), on="cell"
+        )
+        assert not explain_has_exchange(bucketed), "bucketed join must not shuffle"
+        assert explain_has_exchange(plain), "plain join should shuffle here"
+        out_rows = bucketed.count()  # warm both once
+        plain.count()
+        b_walls, p_walls = [], []
+        for _ in range(iters):
+            t0 = time.time()
+            bucketed.count()
+            b_walls.append(time.time() - t0)
+            t0 = time.time()
+            plain.count()
+            p_walls.append(time.time() - t0)
+        return {
+            "layout_write_sec": round(layout_sec, 3),
+            "bucketed_join_sec": round(_median(b_walls), 3),
+            "shuffling_join_sec": round(_median(p_walls), 3),
+            "per_iter_speedup": round(_median(p_walls) / _median(b_walls), 2),
+            "iters": iters,
+            "output_rows": out_rows,
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in (
+            "bench_pts_bucketed",
+            "bench_cells_bucketed",
+            "bench_pts_plain",
+            "bench_cells_plain",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def _scaled_pts(em, spark, sf_dir: str, factor: int):

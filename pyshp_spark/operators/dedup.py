@@ -437,6 +437,61 @@ def minhash_udf(num_perm: int = 64, width: int = 3, seed: int = 1):
     return sig
 
 
+def true_jaccard_udf(width: int = 3):
+    """Exact token-shingle Jaccard over a (text_a, text_b) pair column
+    — the verification kernel for every banded candidate set (MinHash
+    batch + streaming).  Factorizes both sides together so each UNIQUE
+    text shingles exactly once per Arrow batch: a hot doc that appears
+    in k candidate pairs pays one shingles() call, not k; the remaining
+    per-pair work is two C-level frozenset intersections."""
+
+    @F.pandas_udf("double")
+    def true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        both = pd.concat([ta, tb], ignore_index=True).fillna("")
+        codes, uniques = pd.factorize(both)
+        sets = [shingles(u, width) for u in uniques]
+        n = len(ta)
+        out = np.empty(n)
+        ca, cb = codes[:n], codes[n:]
+        for i in range(n):
+            sa, sb = sets[ca[i]], sets[cb[i]]
+            inter = len(sa & sb)
+            u = len(sa) + len(sb) - inter
+            out[i] = inter / u if u else 0.0
+        return pd.Series(out)
+
+    return true_jaccard
+
+
+def minhash_banded(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    width: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, band, band_sig) banded MinHash signatures — the LSH unit
+    both the batch pair pipeline and the streaming corpus store share.
+    band_sig is the band's signature slice (arrays are hashable join
+    keys, so equi-joining on (band, band_sig) is exact)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_udf(num_perm, width, seed)
+    with_sig = df.select(F.col(key).alias("id"), sig(F.col(text)).alias("__sig"))
+    return with_sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     key: str = "doc_id",
@@ -467,23 +522,10 @@ def minhash_dedup_pairs(
     scale the band exchange is signature-sized instead of 16 copies of
     every document.
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_udf(num_perm, width, seed)
-    with_sig = df.select(F.col(key).alias("id"), sig(F.col(text)).alias("__sig"))
     # join directly on the band's signature slice (arrays are hashable
     # join keys): no 32-bit band-hash collisions, and the candidate set
     # is exactly SQL-mirrorable (see minhash_pairs_sql)
-    banded = with_sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
+    banded = minhash_banded(df, key, text, num_perm, bands, width, seed)
     if checkpoint:
         banded = banded.persist()
 
@@ -511,24 +553,7 @@ def minhash_dedup_pairs(
         )
     )
 
-    @F.pandas_udf("double")
-    def true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        # Factorize both sides together so each UNIQUE text shingles
-        # exactly once per batch: a hot doc that appears in k candidate
-        # pairs pays one shingles() call, not k.  The remaining per-pair
-        # work is two C-level frozenset intersections.
-        both = pd.concat([ta, tb], ignore_index=True).fillna("")
-        codes, uniques = pd.factorize(both)
-        sets = [shingles(u, width) for u in uniques]
-        n = len(ta)
-        out = np.empty(n)
-        ca, cb = codes[:n], codes[n:]
-        for i in range(n):
-            sa, sb = sets[ca[i]], sets[cb[i]]
-            inter = len(sa & sb)
-            u = len(sa) + len(sb) - inter
-            out[i] = inter / u if u else 0.0
-        return pd.Series(out)
+    true_jaccard = true_jaccard_udf(width)
 
     out = (
         cand.withColumn("jaccard", F.round(true_jaccard("__txt_a", "__txt_b"), 6))

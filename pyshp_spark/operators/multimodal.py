@@ -252,12 +252,22 @@ def audio_chunk(df: DataFrame, chunk_s: float) -> DataFrame:
                         f"stub: no codec for audio format {d['fmt']!r}; "
                         "only pcm16 decodes in this environment"
                     )
-                sr, ch = int(d["sr"]), max(int(d["channels"]), 1)
-                # floor of one frame: chunk_s*sr < 1 (or sr=0 junk) must
-                # not produce a zero range step
+                # corrupt-tolerant like with_audio_stats / frame_sample:
+                # null bytes or junk sr/channels -> zero chunks, not a
+                # job-killing TypeError; empty buffers emit zero chunks
+                try:
+                    if d["bytes"] is None:
+                        continue
+                    sr, ch = int(d["sr"]), max(int(d["channels"]), 1)
+                    if sr <= 0:
+                        continue
+                    buf = bytes(d["bytes"])
+                except (TypeError, ValueError):
+                    continue
+                # floor of one frame: chunk_s*sr < 1 must not produce a
+                # zero range step
                 stride = max(int(chunk_s * sr), 1) * ch * 2  # bytes/chunk
-                buf = bytes(d["bytes"])
-                for ci, s in enumerate(range(0, max(len(buf), 1), stride)):
+                for ci, s in enumerate(range(0, len(buf), stride)):
                     out = dict(d)
                     out["bytes"] = buf[s : s + stride]
                     out["chunk_idx"] = ci

@@ -123,24 +123,24 @@ def _resolve_broadcast(
 
     The guard is byte-aware, not just row-count-aware: a few million
     rows of small diamonds broadcast fine, but the same row count of
-    large multipart WKB would OOM the driver toPandas — so when the
-    row probe passes, a LIMIT-bounded sample of WKB lengths estimates
-    build-side bytes and anything past ``max_broadcast_bytes`` takes
-    the sort-merge path regardless of row count."""
+    large multipart WKB would OOM the driver toPandas.  Once the row
+    probe passes (n is bounded), build-side bytes are measured EXACTLY
+    with one sum(length(wkb)) scan — a LIMIT-based estimate can miss
+    large rows sitting past the probed prefix, and this scan is cheap
+    next to the broadcast collect that would follow anyway."""
     if broadcast_polygons != "auto":
         return bool(broadcast_polygons)
     n = polygons.limit(max_broadcast_rows + 1).count()
     if n > max_broadcast_rows:
         return False
     if n and "wkb" in polygons.columns:
-        avg_wkb = (
+        total_wkb = (
             polygons.select(F.length("wkb").alias("__l"))
-            .limit(4096)
-            .agg(F.avg("__l"))
+            .agg(F.sum("__l"))
             .first()[0]
-        ) or 0.0
+        ) or 0
         # 96 B/row slack for the bbox doubles + id attrs + pandas overhead
-        if n * (avg_wkb + 96.0) > max_broadcast_bytes:
+        if total_wkb + n * 96.0 > max_broadcast_bytes:
             return False
     return True
 

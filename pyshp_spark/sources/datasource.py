@@ -310,8 +310,18 @@ class ShapefileWriter(DataSourceWriter):
     to clean.  Byte-shipping is the right trade for this format: a
     shapefile is capped at 4 GB and real outputs are dimension-sized;
     petabyte-scale results belong in the parquet/Iceberg engine sink
-    (plans/lineage.py), not a .shp.  Requires ``shape_type`` and
-    ``wkb`` columns; other primitive columns become dbf fields."""
+    (plans/lineage.py), not a .shp.
+
+    SIZE LIMIT: because every partition's bytes return to the driver
+    in commit messages, TOTAL job output (all partitions together) is
+    bounded by ``spark.driver.maxResultSize`` (default 1g) and the RPC
+    message limits — not just the per-file 4 GB format cap.  Rather
+    than fail opaquely inside the RPC layer, ``write()`` raises a
+    clear error when one partition alone exceeds the format cap, and
+    outputs that might exceed the driver bound should either raise
+    ``spark.driver.maxResultSize`` or use the parquet/Iceberg sink.
+    Requires ``shape_type`` and ``wkb`` columns; other primitive
+    columns become dbf fields."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         self._path = options.get("path")
@@ -356,6 +366,15 @@ class ShapefileWriter(DataSourceWriter):
             return _ShpCommitMessage()
         shp, shx = write_shp(shapes)
         dbf = write_dbf(self._attr_specs, records, strict=self._strict)
+        part_bytes = len(shp) + len(shx) + len(dbf)
+        if part_bytes > (1 << 32):
+            raise ValueError(
+                f"shapefile partition is {part_bytes} bytes — past the "
+                "4 GB .shp format cap, and commit messages this size "
+                "will also exceed spark.driver.maxResultSize; "
+                "repartition smaller or use the parquet/Iceberg sink "
+                "(plans/lineage.py) for outputs at this scale"
+            )
         return _ShpCommitMessage(
             base=f"part-{uuid.uuid4().hex[:12]}", shp=shp, shx=shx, dbf=dbf
         )

@@ -227,3 +227,89 @@ class TestStreamingRunningStats:
         hot = [r for r in rows if r.cell == cell00 and r.n_rows == 3][0]
         assert (hot.xmin, hot.xmax) == (5.0, 7.0)
         assert (hot.ymin, hot.ymax) == (3.0, 7.0)
+
+
+class TestStreamingNearDup:
+    def test_neardup_filter_across_micro_batches(self, spark, tmp_path):
+        """First arrival of each near-dup CLUSTER wins, across batches:
+        the corpus band store grows incrementally and later batches are
+        checked against it without rescanning accepted texts."""
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import minhash_neardup_sink
+
+        src = tmp_path / "nd_in"
+        src.mkdir()
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        other = "completely different content about distributed query engines and shuffles"
+        third = "a third unique document mentioning spectral clustering and embeddings"
+        # batch 1: doc 1 + its near-dup 2, plus unique 3
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("today", "tonight"), other],
+            }
+        ).to_parquet(src / "b1.parquet")
+        # batch 2: 4 near-dups doc 1 (cross-batch drop), 5 unique,
+        # 6 near-dups 5 (intra-batch drop)
+        pd.DataFrame(
+            {
+                "doc_id": [4, 5, 6],
+                "text": [
+                    base.replace("dog", "cat"),
+                    third,
+                    third.replace("third", "fourth"),
+                ],
+            }
+        ).to_parquet(src / "b2.parquet")
+
+        state = str(tmp_path / "nd_state")
+        out = str(tmp_path / "nd_out")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                minhash_neardup_sink(state, out, threshold=0.5)
+            )
+            .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        accepted = spark.read.parquet(out)
+        ids = sorted(r.doc_id for r in accepted.select("doc_id").collect())
+        assert ids == [1, 3, 5]
+        # the band store holds exactly the accepted docs
+        bands = spark.read.parquet(f"{state}/bands")
+        assert sorted(
+            r.id for r in bands.select("id").distinct().collect()
+        ) == [1, 3, 5]
+
+    def test_retried_batch_is_idempotent(self, spark, tmp_path):
+        """Re-running the same batch_id (a foreachBatch retry) must not
+        double-drop or double-keep: state reads filter batch_id <
+        current, and the sink partition is overwritten."""
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import neardup_filter_batch
+
+        t = "some reasonably long document text used for the retry idempotence check"
+        pdf = pd.DataFrame({"doc_id": [10, 11], "text": [t, t + " extended"]})
+        df = spark.createDataFrame(pdf)
+        state = str(tmp_path / "retry_state")
+        first = sorted(
+            r.doc_id
+            for r in neardup_filter_batch(df, state, batch_id=0)
+            .select("doc_id")
+            .collect()
+        )
+        retry = sorted(
+            r.doc_id
+            for r in neardup_filter_batch(df, state, batch_id=0)
+            .select("doc_id")
+            .collect()
+        )
+        assert first == retry == [10]
