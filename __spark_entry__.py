@@ -566,6 +566,27 @@ def q_geojson_export(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    # deterministic train/val/test assignment by hashed KEY (map-only,
+    # zero shuffle, stable under corpus growth); the knuth flavor is the
+    # exactly-SQL-mirrorable one — production default is xxhash64
+    from pyshp_spark.operators.sample import hash_split  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, key="doc_id", hash="knuth").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    # exactly-n-per-language deterministic sample (hash-ranked within
+    # stratum = uniform without replacement, reproducible anywhere)
+    from pyshp_spark.operators.sample import stratified_sample_n  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample_n(
+        docs, strata="lang", n=20, key="doc_id", hash="knuth"
+    ).select("doc_id", "lang")
+
+
 PHASH_MAX_HAMMING = 6
 
 
@@ -677,10 +698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "geojson_export": q_geojson_export,
         "phash_dedup": q_phash_dedup,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pyshp_spark.operators.sample import (  # noqa: PLC0415
+        hash_split_sql,
+        stratified_sample_n_sql,
+    )
     from pyshp_spark.operators.text import token_count_sql  # noqa: PLC0415
 
     x0, y0, x1, y1 = QUERY_BBOX
@@ -848,6 +875,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": simhash_pairs_sql("documents", max_hamming=3),
         "phash_dedup": phash_dedup_oracle_sql(),
+        "hash_split": (
+            "SELECT doc_id, split FROM ("
+            + hash_split_sql("documents", "doc_id")
+            + ")"
+        ),
+        "stratified_sample": stratified_sample_n_sql(
+            "documents", "lang", 20, "doc_id", columns="doc_id, lang"
+        ),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

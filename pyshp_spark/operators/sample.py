@@ -1,0 +1,166 @@
+"""Deterministic splitting and sampling for training-data pipelines.
+
+Two operations every large-scale curation pipeline needs, expressed so
+they are reproducible across runs, engines, and cluster sizes (the
+property `df.sample()` does NOT have — its output depends on partition
+layout):
+
+* :func:`hash_split` — assign each row to train/val/test by hashing its
+  KEY, not by position.  Map-only: zero shuffle, zero state, stable
+  under repartitioning, appends compose (a doc keeps its split when the
+  corpus grows — the property that prevents eval-set leakage across
+  dataset versions).
+* :func:`stratified_sample_n` — EXACTLY n rows per stratum (e.g. per
+  language), chosen by ranking a per-row hash within each stratum: a
+  deterministic uniform-without-replacement sample.  One shuffle (the
+  window partition); candidates never collect to the driver.
+
+Both come in two hash flavors: Spark's native ``xxhash64`` (default —
+JVM codegen, no Python anywhere) and a ``knuth`` integer mix that is
+exactly mirrorable in ANSI SQL (the driver-gate flavor; all arithmetic
+stays under 2^62 so BIGINT never overflows on either engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constants: two rounds of multiply-mod keep every
+# intermediate below 2^62 for key < 2^31 while mixing low bits into the
+# bucket range.  NOT a cryptographic hash — a deterministic spreader
+# whose SQL mirror is token-for-token identical.
+_K1 = 2654435761  # 2^32 / golden ratio
+_K2 = 40503       # Knuth's 16-bit multiplier
+_M1 = 1 << 31
+_BUCKETS_DEFAULT = 10_000
+
+
+def _knuth_bucket_expr(key: Column, salt: int, buckets: int) -> Column:
+    h1 = ((key + F.lit(salt)) * F.lit(_K1)) % F.lit(_M1)
+    h2 = (h1 * F.lit(_K2) + F.lit(9973)) % F.lit(_M1)
+    return h2 % F.lit(buckets)
+
+
+def knuth_bucket_sql(key: str, salt: int, buckets: int) -> str:
+    """The exact SQL mirror of the ``knuth`` hash flavor."""
+    return (
+        f"((((({key} + {salt}) * {_K1}) % {_M1}) * {_K2} + 9973)"
+        f" % {_M1}) % {buckets}"
+    )
+
+
+def _bucket_expr(key: Column, hash: str, salt: int, buckets: int) -> Column:
+    if hash == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(buckets))
+    if hash == "knuth":
+        return _knuth_bucket_expr(key, salt, buckets)
+    raise ValueError(f"unknown hash flavor {hash!r} (xxhash64 | knuth)")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    buckets: int = _BUCKETS_DEFAULT,
+    hash: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split_col`` assigning each row to a named split by its
+    hashed key.  Weights are fractions summing to ~1; boundaries are
+    cumulative over ``buckets`` hash buckets, so realized fractions are
+    exact to 1/buckets.  Deterministic in (key, salt) only — immune to
+    partitioning, ordering, and corpus growth."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    total = sum(weights.values())
+    b = _bucket_expr(F.col(key), hash, salt, buckets)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(round(cum * buckets))
+        cond = b < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(
+    table: str,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    buckets: int = _BUCKETS_DEFAULT,
+) -> str:
+    """DuckDB mirror of ``hash_split(..., hash='knuth')``."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    bucket = knuth_bucket_sql(key, salt, buckets)
+    cases = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(round(cum * buckets))
+        cases.append(f"WHEN ({bucket}) < {bound} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata: str,
+    n: int,
+    key: str,
+    salt: int = 0,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, selected by
+    ranking the hashed key within each stratum — a deterministic
+    uniform sample without replacement (every run, every cluster size,
+    same rows).  One shuffle: the window partition on ``strata``; ties
+    are impossible at the rank step because the key breaks them.
+
+    At 100 TB the window never materializes a stratum on one machine
+    beyond its sort spill; for pathological single-stratum corpora use
+    a two-level rank (bucket pre-filter on the hash) before this."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql import Window
+
+    h = _bucket_expr(F.col(key), hash, salt, 1 << 30)
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def stratified_sample_n_sql(
+    table: str,
+    strata: str,
+    n: int,
+    key: str,
+    salt: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB mirror of ``stratified_sample_n(..., hash='knuth')``.
+    ``columns='*'`` uses EXCLUDE to drop the rank column like the
+    Spark side does."""
+    bucket = knuth_bucket_sql(key, salt, 1 << 30)
+    cols = "* EXCLUDE (__rk)" if columns == "*" else columns
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {strata}
+                ORDER BY ({bucket}) ASC, {key} ASC
+            ) AS __rk
+            FROM {table}
+        ) WHERE __rk <= {n}
+    """

@@ -238,3 +238,66 @@ class TestConnectedComponentsHardening:
             expect.sort_values("id").reset_index(drop=True),
             got.sort_values("id").reset_index(drop=True),
         )
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, spark):
+        from pyshp_spark.operators.sample import hash_split  # noqa: PLC0415
+
+        pdf = pd.DataFrame({"doc_id": range(5000)})
+        df = spark.createDataFrame(pdf)
+        for flavor in ("xxhash64", "knuth"):
+            out = hash_split(df, key="doc_id", hash=flavor).toPandas()
+            frac = out.split.value_counts(normalize=True)
+            assert abs(frac["train"] - 0.8) < 0.03, flavor
+            assert abs(frac["val"] - 0.1) < 0.02, flavor
+            # stable under repartitioning: identical assignment per key
+            out2 = (
+                hash_split(df.repartition(13), key="doc_id", hash=flavor)
+                .toPandas()
+                .set_index("doc_id")["split"]
+            )
+            ref = out.set_index("doc_id")["split"]
+            assert (out2.sort_index() == ref.sort_index()).all(), flavor
+
+    def test_map_only_plan(self, spark):
+        """Split assignment must add ZERO exchanges — it's a projection."""
+        from pyshp_spark.operators.sample import hash_split  # noqa: PLC0415
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": range(100)}))
+        out = hash_split(df, key="doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        """A doc keeps its split when the corpus doubles — the property
+        that prevents eval-set leakage across dataset versions."""
+        from pyshp_spark.operators.sample import hash_split  # noqa: PLC0415
+
+        small = spark.createDataFrame(pd.DataFrame({"doc_id": range(500)}))
+        big = spark.createDataFrame(pd.DataFrame({"doc_id": range(1000)}))
+        s = hash_split(small, key="doc_id").toPandas().set_index("doc_id")
+        b = hash_split(big, key="doc_id").toPandas().set_index("doc_id")
+        assert (b.loc[s.index, "split"] == s["split"]).all()
+
+
+class TestStratifiedSample:
+    def test_exact_n_per_stratum_and_determinism(self, spark):
+        from pyshp_spark.operators.sample import stratified_sample_n  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(900),
+                "lang": ["en"] * 500 + ["de"] * 300 + ["fr"] * 95 + ["xx"] * 5,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = stratified_sample_n(df, strata="lang", n=50, key="doc_id").toPandas()
+        counts = out.lang.value_counts()
+        assert counts["en"] == 50 and counts["de"] == 50 and counts["fr"] == 50
+        assert counts["xx"] == 5  # smaller stratum: take all
+        # deterministic: same rows from a differently-partitioned input
+        out2 = stratified_sample_n(
+            df.repartition(17), strata="lang", n=50, key="doc_id"
+        ).toPandas()
+        assert set(out.doc_id) == set(out2.doc_id)
