@@ -587,6 +587,15 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_topk_terms(spark, sf_dir):
+    # top-5 discriminative terms per doc by tf/df, integer score —
+    # explode feeds map-side partial aggs; df side broadcasts
+    from pyshp_spark.operators.text import topk_terms  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return topk_terms(docs, k=5)
+
+
 PHASH_MAX_HAMMING = 6
 
 
@@ -700,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "topk_terms": q_topk_terms,
     }
 
 
@@ -708,7 +718,10 @@ def oracle_sql() -> dict[str, str]:
         hash_split_sql,
         stratified_sample_n_sql,
     )
-    from pyshp_spark.operators.text import token_count_sql  # noqa: PLC0415
+    from pyshp_spark.operators.text import (  # noqa: PLC0415
+        token_count_sql,
+        topk_terms_sql,
+    )
 
     x0, y0, x1, y1 = QUERY_BBOX
     pip_pred = "abs(p.x - d.cx) + abs(p.y - d.cy) < d.r"
@@ -883,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_n_sql(
             "documents", "lang", 20, "doc_id", columns="doc_id, lang"
         ),
+        "topk_terms": topk_terms_sql("documents", k=5),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

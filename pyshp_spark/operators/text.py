@@ -194,3 +194,83 @@ def fingerprint_udf():
 
 def with_fingerprint(df: DataFrame, text: str = "text", out: str = "fp64") -> DataFrame:
     return df.withColumn(out, fingerprint_udf()(F.col(text)))
+
+
+# tf-idf top-k terms ------------------------------------------------------
+
+def topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Top-``k`` most *discriminative* terms per document: rank terms by
+    tf/df — term frequency in the doc over corpus document frequency
+    (classic tf-idf with the monotone-equivalent 1/df idf; the corpus
+    size N scales every doc identically so it never changes the ranking
+    and is dropped to keep the arithmetic exact).
+
+    The score is pure integer arithmetic — ``(tf * 1_000_000) div df``
+    — so ranking is bit-identical across engines; ties break on the
+    term's binary string order.  All stages are built-in DataFrame ops:
+
+    * explode + two hash aggregations (one per-(doc, term), one
+      per-term document frequency);
+    * the df side is vocab-sized, not corpus-sized, so it broadcasts
+      (``broadcast_df=False`` for web-scale vocabularies to take the
+      shuffled equi-join instead);
+    * one window per doc for the top-k.
+
+    At 100 TB: the explode never materializes — it feeds straight into
+    the partial (map-side) aggregation; the only corpus-sized shuffle
+    keys on (doc, term).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(doc_id), F.explode(tokens_expr(F.col(text))).alias("term"))
+    tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(doc_id)).alias("df")
+    )
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.expr("(tf * 1000000L) div df")
+    )
+    w = Window.partitionBy(doc_id).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(doc_id, "term", "tf", "df", "score")
+    )
+
+
+def topk_terms_sql(table: str, k: int = 5, doc_id: str = "doc_id", text: str = "text") -> str:
+    """DuckDB mirror of :func:`topk_terms` — same integer score, same
+    tie-break."""
+    toks = tokens_sql(text)
+    return f"""
+        WITH toks AS (
+            SELECT {doc_id}, unnest({toks}) AS term FROM {table}
+        ), tf AS (
+            SELECT {doc_id}, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, CAST(count(DISTINCT {doc_id}) AS BIGINT) AS df
+            FROM toks GROUP BY 1
+        )
+        SELECT {doc_id}, term, tf, df, score FROM (
+            SELECT tf.{doc_id}, tf.term, tf.tf, dfreq.df,
+                   (tf.tf * 1000000) // dfreq.df AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.{doc_id}
+                       ORDER BY (tf.tf * 1000000) // dfreq.df DESC, tf.term ASC
+                   ) AS rk
+            FROM tf JOIN dfreq USING (term)
+        ) WHERE rk <= {k}
+    """

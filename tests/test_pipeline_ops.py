@@ -169,6 +169,32 @@ class TestTextOps:
         got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
         assert got == {1: "en", 2: "es", 3: "unknown"}
 
+    def test_topk_terms_hand_case(self, spark):
+        from pyshp_spark.operators.text import topk_terms  # noqa: PLC0415
+
+        # "rare" appears only in doc 1 (df=1); "common" in both (df=2):
+        # tf/df must rank rare above common even at equal tf
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": ["rare rare common common", "common other other other"],
+                }
+            )
+        )
+        out = topk_terms(df, k=1).collect()
+        got = {r.doc_id: (r.term, r.tf, r.df, r.score) for r in out}
+        assert got[1] == ("rare", 2, 1, 2_000_000)
+        assert got[2] == ("other", 3, 1, 3_000_000)
+
+    def test_topk_terms_broadcast_off_parity(self, docs_df):
+        from pyshp_spark.operators.text import topk_terms  # noqa: PLC0415
+
+        sub = docs_df.limit(40)
+        a = {tuple(r) for r in topk_terms(sub, k=3).collect()}
+        b = {tuple(r) for r in topk_terms(sub, k=3, broadcast_df=False).collect()}
+        assert a == b and len(a) > 0
+
     def test_fingerprint_deterministic(self, docs_df):
         out1 = with_fingerprint(docs_df).orderBy("doc_id").limit(10).collect()
         texts = pd.Series([r.text for r in out1])
