@@ -650,6 +650,31 @@ def q_phash_dedup(spark, sf_dir):
     return phash_dedup_pairs(imgs, max_hamming=PHASH_MAX_HAMMING)
 
 
+def q_phash_clusters(spark, sf_dir):
+    # image near-dup story end-to-end: phash banding pairs ->
+    # connected components -> one canonical keeper per image cluster
+    from pyshp_spark.operators.dedup import neardup_keepers  # noqa: PLC0415
+    from pyshp_spark.operators.multimodal import phash_dedup_pairs  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(_phash_spark_expr()).alias("phash"),
+    )
+    pairs = phash_dedup_pairs(imgs, max_hamming=PHASH_MAX_HAMMING)
+    return neardup_keepers(imgs, pairs, key="image_id")
+
+
+def phash_clusters_oracle_sql() -> str:
+    from pyshp_spark.operators.dedup import neardup_keepers_sql  # noqa: PLC0415
+
+    return neardup_keepers_sql(
+        phash_dedup_oracle_sql(),
+        "(SELECT doc_id AS image_id FROM documents)",
+        key="image_id",
+    )
+
+
 def phash_dedup_oracle_sql() -> str:
     """Brute-force mirror: pigeonhole banding is recall-complete for
     any Hamming radius in [0, 63] (multimodal.phash_dedup_pairs), so
@@ -710,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "topk_terms": q_topk_terms,
+        "phash_clusters": q_phash_clusters,
     }
 
 
@@ -897,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", 20, "doc_id", columns="doc_id, lang"
         ),
         "topk_terms": topk_terms_sql("documents", k=5),
+        "phash_clusters": phash_clusters_oracle_sql(),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

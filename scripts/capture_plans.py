@@ -109,6 +109,12 @@ def main():
         em.q_phash_dedup(spark, sf_dir)
     )
 
+    sections["hash_split (map-only, zero exchange)"] = fmt(
+        em.q_hash_split(spark, sf_dir)
+    )
+    sections["topk_terms (partial-agg explode, broadcast df join, "
+             "one window)"] = fmt(em.q_topk_terms(spark, sf_dir))
+
     out = []
     for name, plan in sections.items():
         out.append(f"===== {name} =====\n{plan}")
