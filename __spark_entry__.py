@@ -650,6 +650,108 @@ def q_phash_dedup(spark, sf_dir):
     return phash_dedup_pairs(imgs, max_hamming=PHASH_MAX_HAMMING)
 
 
+SESSION_GAP_S = 3600.0
+INCIDENT_WINDOW_S = 600.0
+
+
+def q_sessionize(spark, sf_dir):
+    # gap-based sessionization over the events table: one shuffle on
+    # user_id, two stacked window functions, integer-microsecond gaps
+    from pyshp_spark.operators.temporal import sessionize  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, key="user_id", ts="ts", gap_s=SESSION_GAP_S).select(
+        "event_id", "user_id", F.col("session_idx").cast("long").alias("session_idx")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    # each non-error event gains the latest preceding error of the same
+    # user — union-window formulation, one exchange, zero fan-out
+    from pyshp_spark.operators.temporal import asof_join  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") != "error")
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts", payload=["event_id"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("asof_event_id"), F.lit(-1))
+        .cast("long")
+        .alias("asof_error_id"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    # events x incident windows (10 min after every error) via
+    # time-bucket blocking + exact refine — the 1-D cell join
+    from pyshp_spark.operators.temporal import epoch_us, interval_join  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win_us = int(INCIDENT_WINDOW_S * 1_000_000)
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        epoch_us(ev, "ts").alias("start_us"),
+        (epoch_us(ev, "ts") + win_us).alias("end_us"),
+    )
+    pairs = interval_join(
+        ev.select("event_id", "ts"), incidents,
+        ts="ts", start="start_us", end="end_us", bucket_s=INCIDENT_WINDOW_S,
+    )
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def sessionize_oracle_sql() -> str:
+    from pyshp_spark.operators.temporal import sessionize_sql  # noqa: PLC0415
+
+    return sessionize_sql(
+        "events", key="user_id", ts="ts", gap_s=SESSION_GAP_S,
+        columns="event_id, user_id",
+    )
+
+
+def asof_join_oracle_sql() -> str:
+    from pyshp_spark.operators.temporal import asof_join_sql  # noqa: PLC0415
+
+    inner = asof_join_sql(
+        left_sql="SELECT * FROM events WHERE event_type <> 'error'",
+        right_sql=(
+            "SELECT user_id, ts, event_id FROM events"
+            " WHERE event_type = 'error'"
+        ),
+        key="user_id", ts="ts", payload=["event_id"],
+        left_cols="l.event_id", tiebreak="event_id",
+    )
+    return (
+        "SELECT event_id,"
+        " CAST(COALESCE(asof_event_id, -1) AS BIGINT) AS asof_error_id"
+        f" FROM ({inner})"
+    )
+
+
+def range_join_oracle_sql() -> str:
+    win_us = int(INCIDENT_WINDOW_S * 1_000_000)
+    return f"""
+        WITH incidents AS (
+            SELECT event_id AS incident_id,
+                   epoch_us(ts) AS start_us,
+                   epoch_us(ts) + {win_us} AS end_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT i.incident_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN incidents i
+          ON epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) < i.end_us
+        GROUP BY i.incident_id
+    """
+
+
 def q_phash_clusters(spark, sf_dir):
     # image near-dup story end-to-end: phash banding pairs ->
     # connected components -> one canonical keeper per image cluster
@@ -736,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "topk_terms": q_topk_terms,
         "phash_clusters": q_phash_clusters,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -924,6 +1029,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "topk_terms": topk_terms_sql("documents", k=5),
         "phash_clusters": phash_clusters_oracle_sql(),
+        "sessionize": sessionize_oracle_sql(),
+        "asof_join": asof_join_oracle_sql(),
+        "range_join": range_join_oracle_sql(),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

@@ -1,0 +1,246 @@
+"""Temporal operators Spark's DataFrame API lacks as primitives —
+expressed as compositions of built-in ops so Catalyst still owns the
+physical plan (no Python in any hot path):
+
+* :func:`sessionize` — gap-based session assignment: one window per
+  key, two stacked window functions (lag + running sum), a single
+  shuffle on the key.
+* :func:`asof_join` — point-in-time "latest right row at or before
+  each left row" per key, WITHOUT a join: both sides union into one
+  frame, a single ordered window per key carries the right payload
+  forward (``last(..., ignorenulls=True)``), left rows filter back
+  out.  One shuffle total, no row explosion, no range predicate — the
+  union-window formulation is the scalable alternative to the
+  O(n·m) inequality join (same trick Flink/Kafka-Streams temporal
+  joins use).
+* :func:`interval_join` — events x intervals range join via
+  time-bucket blocking: intervals explode to the (few) fixed-width
+  buckets they cover, events carry exactly one bucket, the match is a
+  bucket EQUI-join + exact refine — the 1-D analogue of this engine's
+  spatial cell join.  An event's bucket is unique and an interval
+  covers each bucket once, so the pair set needs no dedup.
+
+All timestamps are compared in integer epoch microseconds
+(``unix_micros`` / DuckDB ``epoch_us``), so every predicate and every
+oracle mirror is exact integer arithmetic.
+
+At 100 TB: sessionize/asof are one hash-partition + sort per key
+(Spark's window spills; skewed keys salt like any window — see
+operators/skew); interval_join's shuffle is bucket-count-bounded on
+the interval side and linear on the event side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+US = 1_000_000  # microseconds per second
+
+
+def _us(df: DataFrame, ts: str) -> Column:
+    """Epoch microseconds of a timestamp column, exact and
+    timezone-independent: TIMESTAMP_NTZ diffs against the NTZ epoch
+    (no session-timezone reinterpretation), TIMESTAMP uses
+    unix_micros."""
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts}`)"
+        )
+    return F.unix_micros(F.col(ts))
+
+
+#: public name — callers deriving interval bounds need the same exact
+#: NTZ-safe conversion the operators use internally
+epoch_us = _us
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: float = 1800.0,
+    tiebreak: str = "event_id",
+    out: str = "session_idx",
+) -> DataFrame:
+    """Append ``out``: 1-based session index per ``key``, a new session
+    whenever the gap to the previous event exceeds ``gap_s`` seconds.
+    Deterministic total order inside a key: (ts, tiebreak)."""
+    gap_us = int(round(gap_s * US))
+    us = _us(df, ts)
+    w = Window.partitionBy(key).orderBy(us.asc(), F.col(tiebreak).asc())
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    return df.withColumn(
+        out,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def sessionize_sql(
+    table: str,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: float = 1800.0,
+    tiebreak: str = "event_id",
+    columns: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`sessionize` (same integer-microsecond
+    gap test, same (ts, tiebreak) order)."""
+    gap_us = int(round(gap_s * US))
+    return f"""
+        SELECT {columns}, CAST(sum(
+                   CASE WHEN __prev_us IS NULL OR __us - __prev_us > {gap_us}
+                        THEN 1 ELSE 0 END
+               ) OVER (
+                   PARTITION BY {key} ORDER BY __us ASC, {tiebreak} ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_idx
+        FROM (
+            SELECT *, epoch_us({ts}) AS __us,
+                   lag(epoch_us({ts})) OVER (
+                       PARTITION BY {key}
+                       ORDER BY epoch_us({ts}) ASC, {tiebreak} ASC
+                   ) AS __prev_us
+            FROM {table}
+        )
+    """
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the ``payload``
+    columns of the LATEST ``right`` row of the same ``key`` with
+    ``right.ts <= left.ts`` (nulls when none precedes it).
+
+    At equal timestamps the right row wins (<= semantics), and among
+    right rows sharing (key, ts) the greatest ``tiebreak`` wins —
+    making the match total-order deterministic.
+
+    Plan shape: union (no shuffle) -> one window per key -> filter.
+    The right payload rides a running ``last(ignorenulls)`` instead of
+    any join, so there is exactly ONE exchange and zero fan-out.
+    """
+    ts_us = "__asof_us"
+    side = "__asof_side"
+    ordc = "__asof_ord"
+    pay = [f"__r_{c}" for c in payload]
+
+    lt = left.withColumn(ts_us, _us(left, ts)).withColumn(side, F.lit(1))
+    for c, pc in zip(payload, pay):
+        lt = lt.withColumn(pc, F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn(
+        ordc,
+        F.lit(None).cast(
+            right.schema[tiebreak].dataType if tiebreak else "long"
+        ),
+    )
+
+    rt = right.withColumn(ts_us, _us(right, ts)).withColumn(side, F.lit(0))
+    for c, pc in zip(payload, pay):
+        rt = rt.withColumn(pc, F.col(c))
+    rt = rt.withColumn(
+        ordc, F.col(tiebreak) if tiebreak else F.lit(None).cast("long")
+    )
+    rt = rt.select(key, ts_us, side, ordc, *pay)
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+
+    # right rows (side 0) sort before left rows at equal ts (<=
+    # semantics); among right rows sharing (key, ts) the greatest
+    # tiebreak sorts last so last(ignorenulls) picks it.  Left rows all
+    # carry null ord + null payload, so their relative order among ties
+    # cannot change any left row's carried value.
+    order = [F.col(ts_us).asc(), F.col(side).asc(), F.col(ordc).asc_nulls_first()]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    both = lt.select(*rt.columns).unionByName(rt)
+    for c, pc in zip(payload, pay):
+        both = both.withColumn(
+            f"asof_{c}", F.last(F.col(pc), ignorenulls=True).over(w)
+        )
+    keep = [c for c in left.columns] + [f"asof_{c}" for c in payload]
+    return both.where(F.col(side) == 1).select(*keep)
+
+
+def asof_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    ts: str,
+    payload: list[str],
+    left_cols: str,
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`asof_join`: dedup the right side to one
+    row per (key, ts) keeping the greatest ``tiebreak`` (exactly the
+    row the window formulation selects), then ASOF JOIN on
+    ``l.ts >= r.ts``."""
+    pay = ", ".join(f"r.{c} AS asof_{c}" for c in payload)
+    return f"""
+        WITH l AS ({left_sql}),
+        r0 AS ({right_sql}),
+        r AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY {key}, {ts} ORDER BY {tiebreak} DESC
+                ) AS __rn FROM r0
+            ) WHERE __rn = 1
+        )
+        SELECT {left_cols}, {pay}
+        FROM l ASOF LEFT JOIN r
+          ON l.{key} = r.{key} AND l.{ts} >= r.{ts}
+    """
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start_us",
+    end: str = "end_us",
+    bucket_s: float = 600.0,
+) -> DataFrame:
+    """All (point, interval) pairs with ``start_us <= unix_micros(ts)
+    < end_us`` (end-exclusive), via fixed-width time-bucket blocking.
+    ``intervals`` carries integer-microsecond bounds; each interval
+    explodes to its covered buckets (ceil(width/bucket)+1 rows — keep
+    ``bucket_s`` at or above the typical interval width), each point
+    computes one bucket, and the match is a bucket equi-join + exact
+    integer refine.  No dedup needed: a point's bucket is unique and an
+    interval lists each bucket once."""
+    b_us = int(round(bucket_s * US))
+    # integer div keeps the bucket math exact at epoch-microsecond
+    # magnitudes (double division can be off by one at the boundary);
+    # empty/inverted intervals are dropped (they match nothing, and a
+    # descending sequence() would mis-bucket them)
+    iv = intervals.where(F.col(end) > F.col(start)).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"({start}) div {b_us}"),
+                F.expr(f"(({end}) - 1) div {b_us}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__pt_us", _us(points, ts)).withColumn(
+        "__bucket", F.expr(f"__pt_us div {b_us}")
+    )
+    return (
+        pt.join(iv, "__bucket")
+        .where(
+            (F.col("__pt_us") >= F.col(start)) & (F.col("__pt_us") < F.col(end))
+        )
+        .drop("__bucket", "__pt_us")
+    )

@@ -114,6 +114,12 @@ def main():
     )
     sections["topk_terms (partial-agg explode, broadcast df join, "
              "one window)"] = fmt(em.q_topk_terms(spark, sf_dir))
+    sections["asof_join (union-window, ONE exchange, no join operator)"] = fmt(
+        em.q_asof_join(spark, sf_dir)
+    )
+    sections["range_join (time-bucket blocking equi-join + refine)"] = fmt(
+        em.q_range_join(spark, sf_dir)
+    )
 
     out = []
     for name, plan in sections.items():

@@ -1,0 +1,154 @@
+"""Temporal operators: sessionize, as-of join, bucketed interval join.
+
+Hand-computable cases pin the boundary semantics (gap strictly greater,
+asof <= with right-wins-at-equal-ts, end-exclusive intervals); a
+randomized case pins interval_join against a brute-force cross join.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyshp_spark.operators.temporal import asof_join, interval_join, sessionize
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4, 5],
+            "user_id": [1, 1, 1, 1, 2, 2],
+            # user 1: gaps 10s, 3600s (== gap: SAME session), 3601s (new)
+            "ts": [_ts(0), _ts(10), _ts(3610), _ts(7211), _ts(0), _ts(5000)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+class TestSessionize:
+    def test_gap_boundary_is_strict(self, spark, events):
+        out = sessionize(events, gap_s=3600.0).toPandas().set_index("event_id")
+        assert out.loc[0, "session_idx"] == 1
+        assert out.loc[1, "session_idx"] == 1
+        # exactly-equal gap does NOT split (strictly-greater test)
+        assert out.loc[2, "session_idx"] == 1
+        assert out.loc[3, "session_idx"] == 2
+        assert out.loc[4, "session_idx"] == 1
+        assert out.loc[5, "session_idx"] == 2
+
+    def test_partition_invariance(self, spark, events):
+        a = sessionize(events).toPandas().sort_values("event_id")
+        b = sessionize(events.repartition(7)).toPandas().sort_values("event_id")
+        assert (
+            a.session_idx.to_numpy() == b.session_idx.to_numpy()
+        ).all()
+
+
+class TestAsofJoin:
+    def test_semantics_and_ties(self, spark):
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [10, 11, 12],
+                    "user_id": [1, 1, 2],
+                    # 11 lands EXACTLY on an error ts (right must win);
+                    # 12 precedes every error of user 2 (null match)
+                    "ts": [_ts(50), _ts(100), _ts(5)],
+                }
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    # user 1 has TWO errors at ts=100: greatest event_id wins
+                    "event_id": [900, 901, 902, 903],
+                    "user_id": [1, 1, 1, 2],
+                    "ts": [_ts(20), _ts(100), _ts(100), _ts(10)],
+                }
+            )
+        )
+        out = (
+            asof_join(
+                left, right, key="user_id", ts="ts",
+                payload=["event_id"], tiebreak="event_id",
+            )
+            .toPandas()
+            .set_index("event_id")["asof_event_id"]
+        )
+        assert out.loc[10] == 900
+        assert out.loc[11] == 902  # max event_id among the equal-ts errors
+        assert pd.isna(out.loc[12])
+
+    def test_single_exchange_plan(self, spark):
+        left = spark.createDataFrame(
+            pd.DataFrame({"event_id": [1], "user_id": [1], "ts": [_ts(0)]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"event_id": [2], "user_id": [1], "ts": [_ts(0)]})
+        )
+        out = asof_join(
+            left, right, key="user_id", ts="ts",
+            payload=["event_id"], tiebreak="event_id",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+        assert "Join" not in plan  # the whole point: no join operator
+
+
+class TestIntervalJoin:
+    def test_matches_brute_force(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        pts = pd.DataFrame(
+            {
+                "event_id": range(300),
+                "ts": [_ts(float(s)) for s in rng.integers(0, 50_000, 300)],
+            }
+        )
+        starts = rng.integers(0, 49_000, 40)
+        ivs = pd.DataFrame(
+            {
+                "incident_id": range(40),
+                "start_us": starts * 1_000_000,
+                "end_us": (starts + rng.integers(1, 2000, 40)) * 1_000_000,
+            }
+        )
+        pdf = pts.assign(us=[int(t.timestamp() * 1e6) for t in pts.ts])
+        brute = {
+            (int(p.event_id), int(i.incident_id))
+            for _, p in pdf.iterrows()
+            for _, i in ivs.iterrows()
+            if i.start_us <= p.us < i.end_us
+        }
+        got = interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(ivs),
+            bucket_s=600.0,
+        ).collect()
+        assert {(r.event_id, r.incident_id) for r in got} == brute
+        # no dup pairs out of the bucket explode
+        assert len(got) == len(brute)
+
+    def test_inverted_and_empty_intervals_match_nothing(self, spark):
+        pts = spark.createDataFrame(
+            pd.DataFrame({"event_id": [1], "ts": [_ts(100)]})
+        )
+        ivs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "incident_id": [1, 2],
+                    "start_us": [200_000_000, 100_000_000],
+                    "end_us": [100_000_000, 100_000_000],
+                }
+            )
+        )
+        assert interval_join(pts, ivs).count() == 0
