@@ -752,6 +752,16 @@ def range_join_oracle_sql() -> str:
     """
 
 
+def q_json_extract(spark, sf_dir):
+    # semi-structured props column: JSON-path extraction stays JVM-side
+    # (get_json_object inside codegen — no Python, no UDF)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
 def q_phash_clusters(spark, sf_dir):
     # image near-dup story end-to-end: phash banding pairs ->
     # connected components -> one canonical keeper per image cluster
@@ -841,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1032,6 +1043,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessionize_oracle_sql(),
         "asof_join": asof_join_oracle_sql(),
         "range_join": range_join_oracle_sql(),
+        "json_extract": (
+            "SELECT event_id,"
+            " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+            " FROM events"
+        ),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

@@ -64,6 +64,10 @@ def workload_map():
         # q12 = the salted sort-merge PIP path under adversarial skew
         # (~25% of probe rows in ONE grid cell, salt_k=8 + AQE backstop)
         "q12_pip_skew": em.q_pip_skew,
+        # round-4 temporal family over the events table
+        "q13_sessionize": em.q_sessionize,
+        "q14_asof_join": em.q_asof_join,
+        "q15_range_join": em.q_range_join,
     }
 
 

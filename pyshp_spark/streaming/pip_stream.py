@@ -178,3 +178,29 @@ def streaming_cell_counts(
             "n_rows",
         )
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/temporal.sessionize using Spark's
+    native ``session_window``: per-key sessions close when no event
+    arrives within ``gap``; the watermark bounds state (sessions whose
+    window end falls behind it finalize and evict).  Emits one row per
+    closed-or-updated session with its bounds and event count —
+    state-store-backed, merge-on-arrival, no custom stateful code."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

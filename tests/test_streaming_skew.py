@@ -313,3 +313,61 @@ class TestStreamingNearDup:
             .collect()
         )
         assert first == retry == [10]
+
+
+class TestStreamingSessionize:
+    def test_sessions_merge_and_close(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+        from pyshp_spark.streaming import streaming_sessionize
+
+        # user 1: two events 10 min apart (ONE session with a 30-min
+        # gap); user 2: one event.  A later batch far past the
+        # watermark closes them all.
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2026-01-01 00:00:00",
+                        "2026-01-01 00:10:00",
+                        "2026-01-01 00:05:00",
+                    ]
+                ),
+            }
+        )
+        src = tmp_path / "sess_in"
+        src.mkdir()
+        pdf.to_parquet(src / "p1.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+        schema = StructType(
+            [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        sess = streaming_sessionize(
+            stream, key="user_id", ts="ts", gap="30 minutes", watermark="1 hour"
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            late = pd.DataFrame(
+                {"user_id": [9], "ts": pd.to_datetime(["2026-01-01 06:00:00"])}
+            )
+            late.to_parquet(src / "p2.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM sessions ORDER BY user_id"
+            ).collect()
+        finally:
+            q.stop()
+        closed = {r.user_id: r for r in rows}
+        # the two user-1 events merged into one session spanning both
+        assert closed[1].n_events == 2
+        assert closed[1].session_start == pd.Timestamp("2026-01-01 00:00:00")
+        assert closed[1].session_end == pd.Timestamp("2026-01-01 00:40:00")
+        assert closed[2].n_events == 1

@@ -152,3 +152,78 @@ class TestIntervalJoin:
             )
         )
         assert interval_join(pts, ivs).count() == 0
+
+
+class TestRandomizedParity:
+    def test_asof_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n_l, n_r = 400, 150
+        left = pd.DataFrame(
+            {
+                "event_id": range(n_l),
+                "user_id": rng.integers(0, 12, n_l),
+                "ts": [_ts(float(s)) for s in rng.integers(0, 10_000, n_l)],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "event_id": range(1000, 1000 + n_r),
+                "user_id": rng.integers(0, 12, n_r),
+                # coarse grid forces equal-ts collisions on the right
+                "ts": [_ts(float(s)) for s in rng.integers(0, 10_000, n_r) // 100 * 100],
+            }
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                key="user_id", ts="ts",
+                payload=["event_id"], tiebreak="event_id",
+            )
+            .toPandas()
+            .set_index("event_id")["asof_event_id"]
+            .sort_index()
+        )
+        # merge_asof picks the LAST right row among equal (key, ts) in
+        # input order; sorting right by (ts, event_id) makes that the
+        # greatest event_id — our documented tiebreak
+        expect = (
+            pd.merge_asof(
+                left.sort_values("ts", kind="stable"),
+                right.sort_values(["ts", "event_id"], kind="stable"),
+                on="ts", by="user_id", direction="backward",
+                suffixes=("", "_r"),
+            )
+            .set_index("event_id")["event_id_r"]
+            .sort_index()
+        )
+        assert ((got.isna() == expect.isna()).all()
+                and (got.dropna() == expect.dropna()).all())
+
+    def test_sessionize_matches_brute(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        n = 500
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "user_id": rng.integers(0, 10, n),
+                "ts": [_ts(float(s)) for s in rng.integers(0, 100_000, n)],
+            }
+        )
+        gap = 300.0
+        got = (
+            sessionize(spark.createDataFrame(pdf), gap_s=gap)
+            .toPandas()
+            .set_index("event_id")["session_idx"]
+        )
+        for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+            idx, prev = 0, None
+            for _, row in grp.iterrows():
+                if prev is None or (row.ts - prev).total_seconds() > gap:
+                    idx += 1
+                prev = row.ts
+                assert got.loc[row.event_id] == idx
