@@ -1044,8 +1044,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": asof_join_oracle_sql(),
         "range_join": range_join_oracle_sql(),
         "json_extract": (
+            # TRY_CAST mirrors Spark's cast-to-null on non-integer k
+            # values instead of erroring the whole oracle query
             "SELECT event_id,"
-            " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+            " TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
             " FROM events"
         ),
         "simhash_sig": simhash_sql("documents"),

@@ -608,7 +608,10 @@ def connected_components(
     """
     spark = pairs.sparkSession
     reliable = checkpoint_dir is not None
-    if reliable:
+    if reliable and spark.sparkContext.getCheckpointDir() is None:
+        # the checkpoint dir is session-global: configure it only when
+        # unset, so we never silently redirect another component's
+        # checkpoints — an already-configured dir takes precedence
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
@@ -667,6 +670,10 @@ def connected_components(
             if prev_cached is not None:
                 prev_cached.unpersist()
             return out
+    # non-convergence: release the last round's pinned blocks before
+    # raising, so repeated failed runs don't leak executor storage
+    if prev_cached is not None:
+        prev_cached.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -76,6 +76,8 @@ def hash_split(
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
     total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
     b = _bucket_expr(F.col(key), hash, salt, buckets)
     expr = None
     cum = 0.0
@@ -100,6 +102,8 @@ def hash_split_sql(
     """DuckDB mirror of ``hash_split(..., hash='knuth')``."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
     bucket = knuth_bucket_sql(key, salt, buckets)
     cases = []
     cum = 0.0

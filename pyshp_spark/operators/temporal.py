@@ -89,6 +89,9 @@ def sessionize_sql(
     """DuckDB mirror of :func:`sessionize` (same integer-microsecond
     gap test, same (ts, tiebreak) order)."""
     gap_us = int(round(gap_s * US))
+    if columns == "*":
+        # don't leak the helper columns the Spark operator never emits
+        columns = "* EXCLUDE (__us, __prev_us)"
     return f"""
         SELECT {columns}, CAST(sum(
                    CASE WHEN __prev_us IS NULL OR __us - __prev_us > {gap_us}

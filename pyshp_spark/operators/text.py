@@ -232,9 +232,10 @@ def topk_terms(
 
     toks = df.select(F.col(doc_id), F.explode(tokens_expr(F.col(text))).alias("term"))
     tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct(F.col(doc_id)).alias("df")
-    )
+    # tf already holds one row per distinct (doc, term), so document
+    # frequency is a plain count over it — no second corpus explode, no
+    # count_distinct re-dedup of what tf's shuffle just produced
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_df:
         dfreq = F.broadcast(dfreq)
     scored = tf.join(dfreq, "term").withColumn(
@@ -261,8 +262,8 @@ def topk_terms_sql(table: str, k: int = 5, doc_id: str = "doc_id", text: str = "
             SELECT {doc_id}, term, CAST(count(*) AS BIGINT) AS tf
             FROM toks GROUP BY 1, 2
         ), dfreq AS (
-            SELECT term, CAST(count(DISTINCT {doc_id}) AS BIGINT) AS df
-            FROM toks GROUP BY 1
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1
         )
         SELECT {doc_id}, term, tf, df, score FROM (
             SELECT tf.{doc_id}, tf.term, tf.tf, dfreq.df,

@@ -15,14 +15,19 @@ set.  Per micro-batch cost is O(batch + collisions), never O(corpus):
 
 1. intra-batch: the full batch pipeline (band join + verify +
    connected components) keeps one canonical doc per new cluster;
-2. vs corpus: the batch's banded signatures equi-join the corpus band
-   store; colliding pairs attach texts (corpus side from the side
+2. vs corpus: ALL batch docs' banded signatures equi-join the corpus
+   band store; colliding pairs attach texts (corpus side from the side
    table) and verify with the exact factorized-Jaccard kernel; any
-   batch doc whose cluster already exists in the corpus is dropped;
-3. survivors' bands + texts are appended to the store, tagged with the
-   micro-batch id — on a retried batch the state reads filter
-   ``batch_id < current``, so half-written state from a failed attempt
-   can never double-drop or double-keep (idempotent re-run).
+   intra-batch CLUSTER with at least one member near-duplicating an
+   accepted corpus doc is dropped whole (its canonical doc already
+   exists in the corpus — checking only the cluster keeper would let a
+   cluster chained to the corpus through a non-keeper member slip in);
+3. survivors' bands + texts land in per-batch partition directories
+   (``.../batch_id=N``, overwrite mode) — a retried batch REPLACES its
+   own half-written state instead of appending a second copy, and the
+   state reads filter ``batch_id < current``, so a failed attempt can
+   never double-drop, double-keep, or grow the store (idempotent
+   re-run).
 
 The reference has no streaming surface (SURVEY.md §2.10); this is the
 engine's forward-looking ingest-bus shape, mirroring
@@ -49,11 +54,18 @@ _TEXTS_SUB = "texts"
 
 
 def _read_state(spark: SparkSession, path: str, batch_id: int) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     if not os.path.isdir(path):
         return None
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # dir exists but holds no readable parquet yet (first batch's
+        # own half-write): genuinely empty corpus.  Any OTHER error
+        # (transient storage, corrupt footer) must propagate and fail
+        # the batch — treating it as "no corpus" would silently accept
+        # duplicates and pollute the store.
         return None
     # ignore this batch's own half-written state from a failed attempt
     return df.where(F.col("batch_id") < F.lit(batch_id))
@@ -72,11 +84,13 @@ def neardup_filter_batch(
     seed: int = 1,
 ) -> DataFrame:
     """One micro-batch of the streaming near-dup filter: returns the
-    ACCEPTED rows of ``batch_df`` (all original columns) and appends
-    their banded signatures + texts to ``state_dir``.  Deterministic
-    given (batch content, prior state): within the batch the smallest
-    id per near-dup cluster wins; any doc near-duplicating an already-
-    accepted corpus doc is dropped."""
+    ACCEPTED rows of ``batch_df`` (all original columns) and writes
+    their banded signatures + texts into ``state_dir``'s per-batch
+    partitions.  Deterministic given (batch content, prior state):
+    within the batch the smallest id per near-dup cluster wins, and an
+    intra-batch cluster is dropped WHOLE when any of its members
+    near-duplicates an already-accepted corpus doc (its canonical
+    representative already lives in the corpus)."""
     spark = batch_df.sparkSession
     b = batch_df.dropDuplicates([key]).localCheckpoint(eager=True)
 
@@ -84,21 +98,25 @@ def neardup_filter_batch(
     pairs = minhash_dedup_pairs(
         b, key, text, num_perm, bands, width, threshold, seed
     )
-    keepers = neardup_keepers(b, pairs, key)
-    survivors = b.join(
-        keepers.where(~F.col("is_dup")).select(key), on=key
-    ).localCheckpoint(eager=True)
+    keepers = neardup_keepers(b, pairs, key).localCheckpoint(eager=True)
 
-    # 2. vs the accepted corpus: band-collide, attach texts, verify
-    new_bands = minhash_banded(
-        survivors, key, text, num_perm, bands, width, seed
+    # 2. vs the accepted corpus: band-collide ALL batch docs (not just
+    # intra-batch keepers — a cluster can chain to the corpus through a
+    # member that lost the intra-batch keeper vote), attach texts,
+    # verify, and drop every intra-batch cluster with a corpus hit
+    all_bands = minhash_banded(
+        b, key, text, num_perm, bands, width, seed
     ).localCheckpoint(eager=True)
     corpus_bands = _read_state(
         spark, os.path.join(state_dir, _BANDS_SUB), batch_id
     )
-    if corpus_bands is not None:
+    corpus_texts = _read_state(
+        spark, os.path.join(state_dir, _TEXTS_SUB), batch_id
+    )
+    keep = keepers.where(~F.col("is_dup"))
+    if corpus_bands is not None and corpus_texts is not None:
         cand = (
-            new_bands.select(F.col("id").alias("__nid"), "band", "band_sig")
+            all_bands.select(F.col("id").alias("__nid"), "band", "band_sig")
             .join(
                 corpus_bands.select(
                     F.col("id").alias("__cid"), "band", "band_sig"
@@ -107,9 +125,6 @@ def neardup_filter_batch(
             )
             .select("__nid", "__cid")
             .dropDuplicates(["__nid", "__cid"])
-        )
-        corpus_texts = _read_state(
-            spark, os.path.join(state_dir, _TEXTS_SUB), batch_id
         )
         verify = true_jaccard_udf(width)
         dup_ids = (
@@ -127,20 +142,27 @@ def neardup_filter_batch(
             .select(F.col("__nid").alias(key))
             .distinct()
         )
-        survivors = survivors.join(dup_ids, on=key, how="left_anti")
-        new_bands = new_bands.join(
-            dup_ids.select(F.col(key).alias("id")), on="id", how="left_anti"
+        hit_clusters = (
+            keepers.join(dup_ids, on=key)
+            .select("keeper_id")
+            .distinct()
         )
-        survivors = survivors.localCheckpoint(eager=True)
+        keep = keep.join(hit_clusters, on="keeper_id", how="left_anti")
+    survivors = b.join(keep.select(key), on=key).localCheckpoint(eager=True)
+    new_bands = all_bands.join(
+        survivors.select(F.col(key).alias("id")), on="id", how="left_semi"
+    )
 
-    # 3. append the accepted docs' state (bands + texts), batch-tagged
-    new_bands.withColumn("batch_id", F.lit(batch_id)).write.mode(
-        "append"
-    ).parquet(os.path.join(state_dir, _BANDS_SUB))
+    # 3. write the accepted docs' state into per-batch partition dirs
+    # (overwrite: a retried batch replaces its own half-written state
+    # instead of appending a duplicate copy)
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(state_dir, _BANDS_SUB, f"batch_id={batch_id}")
+    )
     survivors.select(
         F.col(key).alias("id"), F.col(text).alias("text")
-    ).withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-        os.path.join(state_dir, _TEXTS_SUB)
+    ).write.mode("overwrite").parquet(
+        os.path.join(state_dir, _TEXTS_SUB, f"batch_id={batch_id}")
     )
     return survivors
 

@@ -371,3 +371,53 @@ class TestStreamingSessionize:
         assert closed[1].session_start == pd.Timestamp("2026-01-01 00:00:00")
         assert closed[1].session_end == pd.Timestamp("2026-01-01 00:40:00")
         assert closed[2].n_events == 1
+
+
+class TestStreamingNearDupHardening:
+    def test_cluster_chained_to_corpus_is_dropped_whole(self, spark, tmp_path):
+        """A batch cluster must drop even when only a NON-keeper member
+        near-duplicates the corpus: {A, B} where A (smaller id) wins
+        the intra-batch vote but only B collides with corpus doc C."""
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import neardup_filter_batch
+
+        toks_c = [f"w{i}" for i in range(30)]
+        c = " ".join(toks_c)
+        # B: C with the last 6 tokens replaced  -> J(B, C) ~ 0.65
+        b = " ".join(toks_c[:24] + [f"x{i}" for i in range(6)])
+        # A: B with the first 8 tokens replaced -> J(A, B) ~ 0.56,
+        # but J(A, C) ~ 0.33 (below the 0.5 threshold)
+        a = " ".join([f"y{i}" for i in range(8)] + b.split()[8:])
+
+        state = str(tmp_path / "chain_state")
+        first = neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [100], "text": [c]})),
+            state, batch_id=0,
+        )
+        assert [r.doc_id for r in first.collect()] == [100]
+        second = neardup_filter_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+            ),
+            state, batch_id=1,
+        )
+        # old behavior kept A (the intra-batch keeper, no direct corpus
+        # collision); cluster-level corpus check drops the whole cluster
+        assert second.count() == 0
+
+    def test_retry_replaces_state_instead_of_appending(self, spark, tmp_path):
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import neardup_filter_batch
+
+        t = "a document whose state rows must not duplicate on a retried batch"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [10], "text": [t]})
+        )
+        state = str(tmp_path / "grow_state")
+        neardup_filter_batch(df, state, batch_id=0)
+        n1 = spark.read.parquet(f"{state}/bands").count()
+        neardup_filter_batch(df, state, batch_id=0)  # retry, same batch
+        n2 = spark.read.parquet(f"{state}/bands").count()
+        assert n1 == n2  # overwrite, not append
