@@ -752,6 +752,29 @@ def range_join_oracle_sql() -> str:
     """
 
 
+ROLLUP_LEVELS = [60, 3600, 86400]
+
+
+def q_time_rollup(spark, sf_dir):
+    # hypertable-style continuous aggregate: minute -> hour -> day
+    # counts per event_type as a cascade (raw scan happens ONCE)
+    from pyshp_spark.operators.temporal import rollup_counts  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rollup_counts(
+        ev, ts="ts", keys=["event_type"], levels_s=ROLLUP_LEVELS
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    # KMV distinct-count sketch over doc n-gram fingerprints: the
+    # k-bounded TakeOrdered shape — no corpus-sized shuffle
+    from pyshp_spark.operators.sketch import kmv_distinct  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, col="event_id", k=64)
+
+
 def q_json_extract(spark, sf_dir):
     # semi-structured props column: JSON-path extraction stays JVM-side
     # (get_json_object inside codegen — no Python, no UDF)
@@ -760,6 +783,20 @@ def q_json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
+
+
+def rollup_counts_oracle_sql() -> str:
+    from pyshp_spark.operators.temporal import rollup_counts_sql  # noqa: PLC0415
+
+    return rollup_counts_sql(
+        "events", ts="ts", keys=["event_type"], levels_s=ROLLUP_LEVELS
+    )
+
+
+def kmv_distinct_oracle_sql() -> str:
+    from pyshp_spark.operators.sketch import kmv_distinct_sql  # noqa: PLC0415
+
+    return kmv_distinct_sql("events", "event_id", k=64)
 
 
 def q_phash_clusters(spark, sf_dir):
@@ -852,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "json_extract": q_json_extract,
+        "time_rollup": q_time_rollup,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1050,6 +1089,8 @@ def oracle_sql() -> dict[str, str]:
             " TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
             " FROM events"
         ),
+        "time_rollup": rollup_counts_oracle_sql(),
+        "kmv_distinct": kmv_distinct_oracle_sql(),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """
             WITH b AS (

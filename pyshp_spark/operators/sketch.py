@@ -1,0 +1,93 @@
+"""KMV (K-Minimum-Values) distinct-count sketch.
+
+A distributed cardinality estimator whose every step is EXACT integer
+arithmetic, so unlike HyperLogLog it admits a token-for-token ANSI-SQL
+oracle: hash each value into [0, 2^31), keep the k smallest DISTINCT
+hashes, and estimate the domain fraction covered —
+
+    estimate = (k - 1) * DOMAIN div h_k        (h_k = k-th minimum)
+
+with the exact count used verbatim when fewer than k distinct hashes
+exist.  Standard KMV theory (Bar-Yossef et al. 2002): relative error
+~ 1/sqrt(k).
+
+Plan shape at 100 TB: the hash is a codegen'd Column expression;
+``distinct().orderBy(h).limit(k)`` compiles to a partial-aggregate +
+TakeOrderedAndProject — each partition contributes at most k hashes to
+the driver-free global top-k, so the shuffle is k-bounded, never
+corpus-sized.  Mergeability falls out of the math: the union's sketch
+is the k smallest of the concatenated sketches.
+
+The ``knuth`` flavor is the oracle-exact one (the same two-round
+multiply-mod spreader as operators/sample.py); production can swap in
+``xxhash64`` for better dispersion at the cost of SQL mirrorability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyshp_spark.operators.sample import _bucket_expr, knuth_bucket_sql
+
+#: hash domain: knuth spreader output range (see sample.py _M1)
+KMV_DOMAIN = 1 << 31
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    salt: int = 0,
+    hash: str = "knuth",
+) -> DataFrame:
+    """One-row DataFrame: (k_actual, h_k, estimate) for the distinct
+    count of ``df[col]``.  ``estimate`` equals the exact distinct count
+    whenever it is below ``k`` (the sketch holds every hash)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # integer hash arithmetic requires an integer key (a float column —
+    # e.g. pandas int-with-nulls — would silently run the spreader in
+    # inexact double math)
+    h = _bucket_expr(F.col(col).cast("long"), hash, salt, KMV_DOMAIN)
+    # count non-null values only: Spark sorts NULLs first and DuckDB
+    # last, so letting a null hash into the sketch breaks the mirror
+    mins = (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return mins.agg(
+        F.count(F.lit(1)).alias("k_actual"),
+        F.max("h").alias("h_k"),
+    ).select(
+        "k_actual",
+        "h_k",
+        F.when(
+            F.col("k_actual") < k, F.col("k_actual").cast("long")
+        )
+        .otherwise(
+            F.expr(f"(({k} - 1) * CAST({KMV_DOMAIN} AS BIGINT)) div h_k")
+        )
+        .alias("estimate"),
+    )
+
+
+def kmv_distinct_sql(table: str, col: str, k: int = 256, salt: int = 0) -> str:
+    """DuckDB mirror of ``kmv_distinct(..., hash='knuth')``."""
+    bucket = knuth_bucket_sql(col, salt, KMV_DOMAIN)
+    return f"""
+        WITH mins AS (
+            SELECT DISTINCT ({bucket}) AS h FROM {table}
+            WHERE {col} IS NOT NULL
+            ORDER BY h ASC LIMIT {k}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS k_actual,
+               CAST(max(h) AS BIGINT) AS h_k,
+               CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT)
+                    ELSE (({k} - 1) * CAST({KMV_DOMAIN} AS BIGINT)) // max(h)
+               END AS estimate
+        FROM mins
+    """

@@ -247,3 +247,81 @@ def interval_join(
         )
         .drop("__bucket", "__pt_us")
     )
+
+
+def rollup_counts(
+    df: DataFrame,
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    levels_s: list[int] | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per-key row counts
+    at multiple time resolutions, computed as a CASCADE — the corpus is
+    scanned ONCE for the finest level, and every coarser level
+    re-aggregates the previous level's (tiny) output instead of the
+    raw events.  Levels must nest (each must divide the next), which
+    makes the cascade exactly equal to aggregating the raw table at
+    every level.
+
+    Output: (level_s, bucket_us, *keys, n) — bucket_us is the bucket's
+    start in epoch microseconds (integer arithmetic end to end).
+
+    At 100 TB the cascade is the whole point: the raw scan + one
+    corpus-sized shuffle happen once; each further level shuffles only
+    rows(finest) ≈ cardinality(keys) x time-range/finest-bucket.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    levels_s = levels_s if levels_s is not None else [60, 3600, 86400]
+    if sorted(levels_s) != levels_s or len(set(levels_s)) != len(levels_s):
+        raise ValueError("levels_s must be strictly ascending")
+    for fine, coarse in zip(levels_s, levels_s[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"levels must nest: {coarse} is not a multiple of {fine}"
+            )
+    lvl_us = [lvl * US for lvl in levels_s]
+    cur = (
+        df.withColumn("__us", _us(df, ts))
+        .withColumn(
+            "bucket_us", F.expr(f"(__us div {lvl_us[0]}) * {lvl_us[0]}")
+        )
+        .groupBy("bucket_us", *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = cur.withColumn("level_s", F.lit(levels_s[0]).cast("long"))
+    for lvl in lvl_us[1:]:
+        cur = (
+            cur.withColumn(
+                "bucket_us", F.expr(f"(bucket_us div {lvl}) * {lvl}")
+            )
+            .groupBy("bucket_us", *keys)
+            .agg(F.sum("n").alias("n"))
+        )
+        out = out.unionByName(
+            cur.withColumn("level_s", F.lit(lvl // US).cast("long"))
+        )
+    return out.select("level_s", "bucket_us", *keys, "n")
+
+
+def rollup_counts_sql(
+    table: str,
+    ts: str = "ts",
+    keys: list[str] | None = None,
+    levels_s: list[int] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`rollup_counts`: each level aggregated
+    directly from the raw table (the cascade is exactly equal because
+    the levels nest)."""
+    keys = keys if keys is not None else ["event_type"]
+    levels_s = levels_s if levels_s is not None else [60, 3600, 86400]
+    ks = ", ".join(keys)
+    parts = []
+    for lvl in levels_s:
+        lvl_us = lvl * US
+        parts.append(f"""
+            SELECT CAST({lvl} AS BIGINT) AS level_s,
+                   (epoch_us({ts}) // {lvl_us}) * {lvl_us} AS bucket_us,
+                   {ks}, CAST(count(*) AS BIGINT) AS n
+            FROM {table} GROUP BY 1, 2, {ks}
+        """)
+    return " UNION ALL ".join(parts)

@@ -120,6 +120,12 @@ def main():
     sections["range_join (time-bucket blocking equi-join + refine)"] = fmt(
         em.q_range_join(spark, sf_dir)
     )
+    sections["time_rollup (cascade: coarser levels re-agg the finer)"] = fmt(
+        em.q_time_rollup(spark, sf_dir)
+    )
+    sections["kmv_distinct (k-bounded TakeOrderedAndProject)"] = fmt(
+        em.q_kmv_distinct(spark, sf_dir)
+    )
 
     out = []
     for name, plan in sections.items():

@@ -227,3 +227,70 @@ class TestRandomizedParity:
                     idx += 1
                 prev = row.ts
                 assert got.loc[row.event_id] == idx
+
+
+class TestRollupCounts:
+    def test_cascade_equals_direct(self, spark):
+        import numpy as np
+
+        from pyshp_spark.operators.temporal import rollup_counts
+
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(400),
+                "event_type": rng.choice(["a", "b"], 400),
+                "ts": [_ts(float(s)) for s in rng.integers(0, 200_000, 400)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = rollup_counts(df, levels_s=[60, 3600, 86400]).toPandas()
+        us = pdf.assign(us=[int(t.timestamp() * 1e6) for t in pdf.ts])
+        for lvl in (60, 3600, 86400):
+            lvl_us = lvl * 1_000_000
+            direct = (
+                us.assign(bucket=us.us // lvl_us * lvl_us)
+                .groupby(["bucket", "event_type"])
+                .size()
+            )
+            got = out[out.level_s == lvl].set_index(["bucket_us", "event_type"])["n"]
+            assert got.sort_index().equals(
+                direct.sort_index().astype("int64")
+            ), lvl
+
+    def test_levels_must_nest(self, spark):
+        from pyshp_spark.operators.temporal import rollup_counts
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"event_type": ["a"], "ts": [_ts(0)]})
+        )
+        with pytest.raises(ValueError, match="nest"):
+            rollup_counts(df, levels_s=[60, 90])
+        with pytest.raises(ValueError, match="ascending"):
+            rollup_counts(df, levels_s=[3600, 60])
+
+
+class TestKmvDistinct:
+    def test_exact_below_k_and_estimate_above(self, spark):
+        from pyshp_spark.operators.sketch import kmv_distinct
+
+        small = spark.createDataFrame(
+            pd.DataFrame({"v": [1, 2, 3, 2, 1, None]})
+        )
+        r = kmv_distinct(small, "v", k=64).collect()[0]
+        assert (r.k_actual, r.estimate) == (3, 3)  # exact, nulls excluded
+
+        big = spark.createDataFrame(pd.DataFrame({"v": range(20_000)}))
+        r = kmv_distinct(big, "v", k=256).collect()[0]
+        assert r.k_actual == 256
+        assert 20_000 * 0.8 < r.estimate < 20_000 * 1.2  # ~1/sqrt(k) error
+
+    def test_k_bounded_plan(self, spark):
+        from pyshp_spark.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame(pd.DataFrame({"v": range(100)}))
+        mins_plan = (
+            kmv_distinct(df, "v", k=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in mins_plan  # k-bounded, no full sort
