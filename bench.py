@@ -68,6 +68,8 @@ def workload_map():
         "q13_sessionize": em.q_sessionize,
         "q14_asof_join": em.q_asof_join,
         "q15_range_join": em.q_range_join,
+        "q16_time_rollup": em.q_time_rollup,
+        "q17_kmv_distinct": em.q_kmv_distinct,
     }
 
 
