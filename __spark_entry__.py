@@ -587,6 +587,20 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+MIX_WEIGHTS = {"src0": 1.5, "src1": 2.0, "src2": 0.25, "src3": 1.0, "src4": 0.5}
+
+
+def q_mix_corpora(spark, sf_dir):
+    # source-weighted dataset mixing (fractional epochs by hashed key):
+    # one projection + one explode, no join, no shuffle
+    from pyshp_spark.operators.sample import mix_corpora  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_corpora(
+        docs, MIX_WEIGHTS, source="source", key="doc_id", hash="knuth"
+    ).select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
 def q_topk_terms(spark, sf_dir):
     # top-5 discriminative terms per doc by tf/df, integer score —
     # explode feeds map-side partial aggs; df side broadcasts
@@ -785,6 +799,15 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def mix_corpora_oracle_sql() -> str:
+    from pyshp_spark.operators.sample import mix_corpora_sql  # noqa: PLC0415
+
+    return mix_corpora_sql(
+        "documents", MIX_WEIGHTS, source="source", key="doc_id",
+        columns="doc_id, source",
+    )
+
+
 def rollup_counts_oracle_sql() -> str:
     from pyshp_spark.operators.temporal import rollup_counts_sql  # noqa: PLC0415
 
@@ -884,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "topk_terms": q_topk_terms,
+        "mix_corpora": q_mix_corpora,
         "phash_clusters": q_phash_clusters,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1078,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", 20, "doc_id", columns="doc_id, lang"
         ),
         "topk_terms": topk_terms_sql("documents", k=5),
+        "mix_corpora": mix_corpora_oracle_sql(),
         "phash_clusters": phash_clusters_oracle_sql(),
         "sessionize": sessionize_oracle_sql(),
         "asof_join": asof_join_oracle_sql(),

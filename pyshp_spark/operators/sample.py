@@ -168,3 +168,84 @@ def stratified_sample_n_sql(
             FROM {table}
         ) WHERE __rk <= {n}
     """
+
+
+def mix_corpora(
+    df: DataFrame,
+    weights: dict[str, float],
+    source: str = "source",
+    key: str = "doc_id",
+    salt: int = 0,
+    buckets: int = _BUCKETS_DEFAULT,
+    hash: str = "xxhash64",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic source-weighted dataset mixing: each row of source
+    ``s`` appears ``floor(w_s)`` times plus once more for a hashed
+    ``frac(w_s)`` fraction of its keys — so a weight of 1.5 replays
+    every doc once and half the docs twice, and 0.25 keeps a quarter.
+    Copies are numbered 1..n in ``epoch_col`` (the training-epoch tag).
+
+    Like :func:`hash_split`, membership in the fractional slice depends
+    only on (key, salt): reproducible at any parallelism, stable under
+    corpus growth, and the same doc is up/down-sampled consistently
+    across pipeline re-runs.  Sources absent from ``weights`` get
+    weight 0 (dropped) — an explicit decision, not a default of 1.
+
+    One projection + one explode; no join, no shuffle.  The epoch copies
+    are materialized rows, so downstream shuffles see the mixed
+    distribution exactly as a training loader would.
+    """
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    b = _bucket_expr(F.col(key), hash, salt, buckets)
+    n = None
+    for name, w in weights.items():
+        whole = int(w)
+        frac_buckets = int(round((w - whole) * buckets))
+        copies = F.lit(whole) + F.when(b < F.lit(frac_buckets), 1).otherwise(0)
+        cond = F.col(source) == name
+        n = F.when(cond, copies) if n is None else n.when(cond, copies)
+    n = (n.otherwise(0) if n is not None else F.lit(0)).cast("int")
+    return (
+        df.withColumn("__n_copies", n)
+        .where(F.col("__n_copies") >= 1)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
+        )
+        .drop("__n_copies")
+    )
+
+
+def mix_corpora_sql(
+    table: str,
+    weights: dict[str, float],
+    source: str = "source",
+    key: str = "doc_id",
+    salt: int = 0,
+    buckets: int = _BUCKETS_DEFAULT,
+    columns: str = "*",
+) -> str:
+    """DuckDB mirror of ``mix_corpora(..., hash='knuth')``."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    bucket = knuth_bucket_sql(key, salt, buckets)
+    cases = []
+    for name, w in weights.items():
+        whole = int(w)
+        frac_buckets = int(round((w - whole) * buckets))
+        cases.append(
+            f"WHEN {source} = '{name}' THEN {whole}"
+            f" + (CASE WHEN ({bucket}) < {frac_buckets} THEN 1 ELSE 0 END)"
+        )
+    n = "CASE " + " ".join(cases) + " ELSE 0 END"
+    if columns == "*":
+        columns = "* EXCLUDE (__n_copies)"
+    return f"""
+        SELECT {columns}, CAST(unnest(range(1, __n_copies + 1)) AS BIGINT)
+               AS epoch
+        FROM (
+            SELECT *, ({n}) AS __n_copies FROM {table}
+        ) WHERE __n_copies >= 1
+    """

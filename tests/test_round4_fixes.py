@@ -301,3 +301,45 @@ class TestStratifiedSample:
             df.repartition(17), strata="lang", n=50, key="doc_id"
         ).toPandas()
         assert set(out.doc_id) == set(out2.doc_id)
+
+
+class TestMixCorpora:
+    def test_weights_and_determinism(self, spark):
+        from pyshp_spark.operators.sample import mix_corpora  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(4000),
+                "source": ["a", "b", "c", "d"] * 1000,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        w = {"a": 2.0, "b": 1.5, "c": 0.25}  # d absent -> dropped
+        out = mix_corpora(df, w, source="source", key="doc_id").toPandas()
+        per = out.groupby("source").size()
+        assert per["a"] == 2000  # exactly 2 epochs each
+        assert abs(per["b"] - 1500) < 100  # 1 + ~50% second epoch
+        assert abs(per["c"] - 250) < 60  # ~25% kept
+        assert "d" not in per.index
+        # integer epochs 1..n, and copy-2 docs are a subset of copy-1
+        b2 = set(out[(out.source == "b") & (out.epoch == 2)].doc_id)
+        b1 = set(out[(out.source == "b") & (out.epoch == 1)].doc_id)
+        assert b2 < b1
+        # deterministic under repartitioning
+        out2 = mix_corpora(
+            df.repartition(13), w, source="source", key="doc_id"
+        ).toPandas()
+        key = lambda d: sorted(map(tuple, d[["doc_id", "source", "epoch"]].to_numpy()))  # noqa: E731
+        assert key(out) == key(out2)
+
+    def test_no_shuffle_plan(self, spark):
+        from pyshp_spark.operators.sample import mix_corpora  # noqa: PLC0415
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "source": ["a"]})
+        )
+        plan = (
+            mix_corpora(df, {"a": 1.5})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
