@@ -502,8 +502,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     seed: int = 1,
     checkpoint: bool = True,
+    precomputed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with exact-Jaccard verification.
+
+    ``precomputed_bands``: an already-materialized ``minhash_banded``
+    output for ``df`` (same num_perm/bands/width/seed) — callers that
+    need the banded signatures for their own joins (the streaming
+    corpus check) pass it to avoid running the signature UDF twice.
 
     ``checkpoint=True`` (default) persists the banded signatures (they
     feed BOTH sides of the band self-join — without it the signature
@@ -525,9 +531,12 @@ def minhash_dedup_pairs(
     # join directly on the band's signature slice (arrays are hashable
     # join keys): no 32-bit band-hash collisions, and the candidate set
     # is exactly SQL-mirrorable (see minhash_pairs_sql)
-    banded = minhash_banded(df, key, text, num_perm, bands, width, seed)
-    if checkpoint:
-        banded = banded.persist()
+    if precomputed_bands is not None:
+        banded = precomputed_bands
+    else:
+        banded = minhash_banded(df, key, text, num_perm, bands, width, seed)
+        if checkpoint:
+            banded = banded.persist()
 
     left = banded.select(F.col("id").alias("id_a"), "band", "band_sig")
     right = banded.select(F.col("id").alias("id_b"), "band", "band_sig")
@@ -562,7 +571,8 @@ def minhash_dedup_pairs(
     )
     if checkpoint:
         out = out.localCheckpoint(eager=True)
-        banded.unpersist()
+        if precomputed_bands is None:
+            banded.unpersist()  # never release a caller-owned frame
     return out
 
 

@@ -12,11 +12,16 @@ exist.  Standard KMV theory (Bar-Yossef et al. 2002): relative error
 ~ 1/sqrt(k).
 
 Plan shape at 100 TB: the hash is a codegen'd Column expression;
-``distinct().orderBy(h).limit(k)`` compiles to a partial-aggregate +
-TakeOrderedAndProject — each partition contributes at most k hashes to
-the driver-free global top-k, so the shuffle is k-bounded, never
-corpus-sized.  Mergeability falls out of the math: the union's sketch
-is the k smallest of the concatenated sketches.
+``distinct().orderBy(h).limit(k)`` compiles to partial HashAggregate
+(per-partition dedup, map-side) -> Exchange -> final HashAggregate ->
+TakeOrderedAndProject.  The exchange carries one row per distinct hash
+per upstream partition — bounded by the DISTINCT cardinality (capped
+at the 2^31 domain), not the corpus row count, which is the win for
+the common "cardinality of a heavily-duplicated column" question; for
+a near-unique key it degrades to an exact-distinct shuffle like any
+engine's.  TakeOrdered itself is k-bounded and driver-free.
+Mergeability falls out of the math: the union's sketch is the k
+smallest of the concatenated sketches.
 
 The ``knuth`` flavor is the oracle-exact one (the same two-round
 multiply-mod spreader as operators/sample.py); production can swap in
@@ -46,10 +51,21 @@ def kmv_distinct(
     whenever it is below ``k`` (the sketch holds every hash)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    # integer hash arithmetic requires an integer key (a float column —
-    # e.g. pandas int-with-nulls — would silently run the spreader in
-    # inexact double math)
-    h = _bucket_expr(F.col(col).cast("long"), hash, salt, KMV_DOMAIN)
+    dtype = dict(df.dtypes).get(col)
+    if hash == "knuth":
+        # the integer spreader needs a true integer key: a silent
+        # cast('long') would null out strings (corrupting the sketch to
+        # estimate≈1) and collapse float values — reject instead
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"kmv_distinct(hash='knuth') needs an integer column; "
+                f"{col!r} is {dtype} — use hash='xxhash64' for "
+                "arbitrary types (no SQL oracle)"
+            )
+        h = _bucket_expr(F.col(col).cast("long"), hash, salt, KMV_DOMAIN)
+    else:
+        # xxhash64 hashes any Spark type natively
+        h = _bucket_expr(F.col(col), hash, salt, KMV_DOMAIN)
     # count non-null values only: Spark sorts NULLs first and DuckDB
     # last, so letting a null hash into the sketch breaks the mirror
     mins = (

@@ -272,6 +272,7 @@ def rollup_counts(
     """
     keys = keys if keys is not None else ["event_type"]
     levels_s = levels_s if levels_s is not None else [60, 3600, 86400]
+    levels_s = list(levels_s)
     if sorted(levels_s) != levels_s or len(set(levels_s)) != len(levels_s):
         raise ValueError("levels_s must be strictly ascending")
     for fine, coarse in zip(levels_s, levels_s[1:]):

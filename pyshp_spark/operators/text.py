@@ -230,7 +230,12 @@ def topk_terms(
         raise ValueError("k must be positive")
     from pyspark.sql import Window
 
-    toks = df.select(F.col(doc_id), F.explode(tokens_expr(F.col(text))).alias("term"))
+    # null-id rows are excluded outright: with them, the tf-derived df
+    # would count a phantom "null document" per term (the old
+    # count_distinct silently skipped nulls; this makes it explicit)
+    toks = df.where(F.col(doc_id).isNotNull()).select(
+        F.col(doc_id), F.explode(tokens_expr(F.col(text))).alias("term")
+    )
     tf = toks.groupBy(doc_id, "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf already holds one row per distinct (doc, term), so document
     # frequency is a plain count over it — no second corpus explode, no
@@ -258,6 +263,7 @@ def topk_terms_sql(table: str, k: int = 5, doc_id: str = "doc_id", text: str = "
     return f"""
         WITH toks AS (
             SELECT {doc_id}, unnest({toks}) AS term FROM {table}
+            WHERE {doc_id} IS NOT NULL
         ), tf AS (
             SELECT {doc_id}, term, CAST(count(*) AS BIGINT) AS tf
             FROM toks GROUP BY 1, 2

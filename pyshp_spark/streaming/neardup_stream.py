@@ -60,13 +60,16 @@ def _read_state(spark: SparkSession, path: str, batch_id: int) -> DataFrame | No
         return None
     try:
         df = spark.read.parquet(path)
-    except AnalysisException:
-        # dir exists but holds no readable parquet yet (first batch's
-        # own half-write): genuinely empty corpus.  Any OTHER error
-        # (transient storage, corrupt footer) must propagate and fail
-        # the batch — treating it as "no corpus" would silently accept
-        # duplicates and pollute the store.
-        return None
+    except AnalysisException as e:
+        # only "dir exists but holds no readable parquet yet" (a first
+        # batch's own half-write) means an empty corpus.  Any OTHER
+        # analysis error — conflicting directory layout, duplicate
+        # columns, schema drift — must propagate and fail the batch:
+        # treating it as "no corpus" would silently accept duplicates
+        # and pollute the store.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
     # ignore this batch's own half-written state from a failed attempt
     return df.where(F.col("batch_id") < F.lit(batch_id))
 
@@ -94,9 +97,17 @@ def neardup_filter_batch(
     spark = batch_df.sparkSession
     b = batch_df.dropDuplicates([key]).localCheckpoint(eager=True)
 
+    # signatures are the dominant per-batch compute: materialize them
+    # ONCE and feed both the intra-batch pair pipeline and the corpus
+    # band join below
+    all_bands = minhash_banded(
+        b, key, text, num_perm, bands, width, seed
+    ).localCheckpoint(eager=True)
+
     # 1. intra-batch near-dup resolution (the batch operators verbatim)
     pairs = minhash_dedup_pairs(
-        b, key, text, num_perm, bands, width, threshold, seed
+        b, key, text, num_perm, bands, width, threshold, seed,
+        precomputed_bands=all_bands,
     )
     keepers = neardup_keepers(b, pairs, key).localCheckpoint(eager=True)
 
@@ -104,15 +115,26 @@ def neardup_filter_batch(
     # intra-batch keepers — a cluster can chain to the corpus through a
     # member that lost the intra-batch keeper vote), attach texts,
     # verify, and drop every intra-batch cluster with a corpus hit
-    all_bands = minhash_banded(
-        b, key, text, num_perm, bands, width, seed
-    ).localCheckpoint(eager=True)
     corpus_bands = _read_state(
         spark, os.path.join(state_dir, _BANDS_SUB), batch_id
     )
     corpus_texts = _read_state(
         spark, os.path.join(state_dir, _TEXTS_SUB), batch_id
     )
+    if (corpus_bands is None) != (corpus_texts is None):
+        # one store readable, the other absent.  Legitimate only when
+        # the readable one holds NO prior-batch rows (this batch's own
+        # half-write being retried); any prior-batch rows without their
+        # twin store mean duplicates would be silently re-admitted, so
+        # fail loudly instead of skipping the corpus check.
+        present = corpus_bands if corpus_bands is not None else corpus_texts
+        if present.limit(1).count() > 0:
+            raise RuntimeError(
+                f"inconsistent near-dup state under {state_dir}: bands "
+                f"{'present' if corpus_bands is not None else 'missing'}, "
+                f"texts {'present' if corpus_texts is not None else 'missing'}"
+            )
+        corpus_bands = corpus_texts = None
     keep = keepers.where(~F.col("is_dup"))
     if corpus_bands is not None and corpus_texts is not None:
         cand = (

@@ -275,10 +275,16 @@ class TestKmvDistinct:
         from pyshp_spark.operators.sketch import kmv_distinct
 
         small = spark.createDataFrame(
-            pd.DataFrame({"v": [1, 2, 3, 2, 1, None]})
+            [(1,), (2,), (3,), (2,), (1,), (None,)], "v bigint"
         )
         r = kmv_distinct(small, "v", k=64).collect()[0]
         assert (r.k_actual, r.estimate) == (3, 3)  # exact, nulls excluded
+
+        # a float column must be rejected for the knuth flavor, not
+        # silently cast (it would collapse 1.2 and 1.9 into one hash)
+        floats = spark.createDataFrame(pd.DataFrame({"v": [1.2, 1.9]}))
+        with pytest.raises(ValueError, match="integer column"):
+            kmv_distinct(floats, "v", k=64)
 
         big = spark.createDataFrame(pd.DataFrame({"v": range(20_000)}))
         r = kmv_distinct(big, "v", k=256).collect()[0]
