@@ -118,19 +118,26 @@ def asof_join(
     ts: str,
     payload: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gains the ``payload``
-    columns of the LATEST ``right`` row of the same ``key`` with
-    ``right.ts <= left.ts`` (nulls when none precedes it).
+    """As-of join: every ``left`` row gains the ``payload`` columns of
+    one ``right`` row of the same ``key`` — with ``direction=
+    'backward'`` (default) the LATEST right row at or before the left
+    timestamp, with ``'forward'`` the EARLIEST right row at or after
+    it (nulls when none qualifies).
 
-    At equal timestamps the right row wins (<= semantics), and among
-    right rows sharing (key, ts) the greatest ``tiebreak`` wins —
-    making the match total-order deterministic.
+    At equal timestamps the right row wins (<=/>= semantics); among
+    right rows sharing (key, ts) the greatest ``tiebreak`` wins for
+    backward and the smallest for forward (matching
+    ``pandas.merge_asof`` against a (ts, tiebreak)-sorted right side)
+    — making the match total-order deterministic either way.
 
     Plan shape: union (no shuffle) -> one window per key -> filter.
     The right payload rides a running ``last(ignorenulls)`` instead of
     any join, so there is exactly ONE exchange and zero fan-out.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     ts_us = "__asof_us"
     side = "__asof_side"
     ordc = "__asof_ord"
@@ -157,12 +164,25 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
 
-    # right rows (side 0) sort before left rows at equal ts (<=
-    # semantics); among right rows sharing (key, ts) the greatest
-    # tiebreak sorts last so last(ignorenulls) picks it.  Left rows all
-    # carry null ord + null payload, so their relative order among ties
-    # cannot change any left row's carried value.
-    order = [F.col(ts_us).asc(), F.col(side).asc(), F.col(ordc).asc_nulls_first()]
+    # right rows (side 0) sort before left rows at equal ts (<=/>=
+    # semantics); among right rows sharing (key, ts) the winning
+    # tiebreak sorts LAST so last(ignorenulls) picks it (greatest for
+    # backward's ascending order, smallest for forward's descending).
+    # Left rows all carry null ord + null payload, so their relative
+    # order among ties cannot change any left row's carried value.
+    # Forward is backward on reversed time: descending ts makes the
+    # "most recently passed" right row the earliest one at/after the
+    # left timestamp.
+    if direction == "backward":
+        order = [
+            F.col(ts_us).asc(), F.col(side).asc(),
+            F.col(ordc).asc_nulls_first(),
+        ]
+    else:
+        order = [
+            F.col(ts_us).desc(), F.col(side).asc(),
+            F.col(ordc).desc_nulls_first(),
+        ]
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

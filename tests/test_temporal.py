@@ -300,3 +300,61 @@ class TestKmvDistinct:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in mins_plan  # k-bounded, no full sort
+
+
+class TestAsofForward:
+    def test_forward_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        n_l, n_r = 300, 120
+        left = pd.DataFrame(
+            {
+                "event_id": range(n_l),
+                "user_id": rng.integers(0, 10, n_l),
+                "ts": [_ts(float(s)) for s in rng.integers(0, 8_000, n_l)],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "event_id": range(1000, 1000 + n_r),
+                "user_id": rng.integers(0, 10, n_r),
+                # coarse grid forces equal-ts collisions on the right
+                "ts": [_ts(float(s)) for s in rng.integers(0, 8_000, n_r) // 100 * 100],
+            }
+        )
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                key="user_id", ts="ts",
+                payload=["event_id"], tiebreak="event_id",
+                direction="forward",
+            )
+            .toPandas()
+            .set_index("event_id")["asof_event_id"]
+            .sort_index()
+        )
+        # forward merge_asof picks the FIRST right row at ts >= l.ts;
+        # right sorted by (ts, event_id) makes that the smallest
+        # event_id among equal-ts rows — our documented forward tiebreak
+        expect = (
+            pd.merge_asof(
+                left.sort_values("ts", kind="stable"),
+                right.sort_values(["ts", "event_id"], kind="stable"),
+                on="ts", by="user_id", direction="forward",
+                suffixes=("", "_r"),
+            )
+            .set_index("event_id")["event_id_r"]
+            .sort_index()
+        )
+        assert ((got.isna() == expect.isna()).all()
+                and (got.dropna() == expect.dropna()).all())
+
+    def test_direction_validated(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"event_id": [1], "user_id": [1], "ts": [_ts(0)]})
+        )
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, key="user_id", ts="ts",
+                      payload=["event_id"], direction="nearest")
