@@ -204,3 +204,29 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_interval_join(
+    stream: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start_us",
+    end: str = "end_us",
+    bucket_s: float = 600.0,
+) -> DataFrame:
+    """Stream-static interval join: every arriving event pairs with the
+    static intervals covering its timestamp — identical semantics to
+    the batch operator (time-bucket blocking + exact integer refine),
+    run incrementally.  The intervals side explodes to its covered
+    buckets once and broadcasts (stream-static equi-join), so each
+    micro-batch probes without shuffling the stream."""
+    from pyshp_spark.operators.temporal import interval_join  # noqa: PLC0415
+
+    if not stream.isStreaming:
+        raise ValueError("stream must be a streaming DataFrame")
+    if intervals.isStreaming:
+        raise ValueError("intervals must be static (stream-static join)")
+    return interval_join(
+        stream, F.broadcast(intervals), ts=ts, start=start, end=end,
+        bucket_s=bucket_s,
+    )

@@ -421,3 +421,68 @@ class TestStreamingNearDupHardening:
         neardup_filter_batch(df, state, batch_id=0)  # retry, same batch
         n2 = spark.read.parquet(f"{state}/bands").count()
         assert n1 == n2  # overwrite, not append
+
+
+class TestStreamingIntervalJoin:
+    def test_stream_matches_batch_interval_join(self, spark, tmp_path):
+        import pandas as pd
+
+        from pyshp_spark.operators.temporal import interval_join
+        from pyshp_spark.streaming import streaming_interval_join
+
+        events = pd.DataFrame(
+            {
+                "event_id": range(40),
+                "ts": pd.to_datetime(
+                    ["2026-01-01 00:00:00"] * 0
+                    + [f"2026-01-01 00:{m:02d}:30" for m in range(40)]
+                ),
+            }
+        )
+        ivs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "incident_id": [1, 2],
+                    # [00:05, 00:15) and [00:30, 00:31)
+                    "start_us": [
+                        int(pd.Timestamp("2026-01-01 00:05:00").timestamp() * 1e6),
+                        int(pd.Timestamp("2026-01-01 00:30:00").timestamp() * 1e6),
+                    ],
+                    "end_us": [
+                        int(pd.Timestamp("2026-01-01 00:15:00").timestamp() * 1e6),
+                        int(pd.Timestamp("2026-01-01 00:31:00").timestamp() * 1e6),
+                    ],
+                }
+            )
+        )
+        src = tmp_path / "iv_in"
+        src.mkdir()
+        events.to_parquet(
+            src / "p.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp"
+        ).parquet(str(src))
+        q = (
+            streaming_interval_join(stream, ivs)
+            .writeStream.format("memory")
+            .queryName("ivjoin")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.event_id, r.incident_id)
+                for r in spark.sql("SELECT * FROM ivjoin").collect()
+            }
+        finally:
+            q.stop()
+        batch = {
+            (r.event_id, r.incident_id)
+            for r in interval_join(
+                spark.createDataFrame(events), ivs
+            ).collect()
+        }
+        assert got == batch and len(got) == 11  # 10 in window 1, 1 in window 2
