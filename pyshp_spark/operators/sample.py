@@ -37,17 +37,25 @@ _BUCKETS_DEFAULT = 10_000
 
 
 def _knuth_bucket_expr(key: Column, salt: int, buckets: int) -> Column:
-    h1 = ((key + F.lit(salt)) * F.lit(_K1)) % F.lit(_M1)
-    h2 = (h1 * F.lit(_K2) + F.lit(9973)) % F.lit(_M1)
-    return h2 % F.lit(buckets)
+    # pmod form ((x % m) + m) % m, NOT bare %: Spark and DuckDB both have
+    # sign-preserving %, so a negative key would otherwise produce a
+    # negative bucket that compares < every positive bound (all negative
+    # keys landing in the first split / poisoning the KMV minima).  The
+    # expanded form is token-identical in ANSI SQL, keeping the mirror
+    # exact.  Intermediates stay < 2^62 for |key| < 2^31.
+    m1 = F.lit(_M1)
+    h1 = (((key + F.lit(salt)) * F.lit(_K1)) % m1 + m1) % m1
+    h2 = ((h1 * F.lit(_K2) + F.lit(9973)) % m1 + m1) % m1
+    b = F.lit(buckets)
+    return (h2 % b + b) % b
 
 
 def knuth_bucket_sql(key: str, salt: int, buckets: int) -> str:
-    """The exact SQL mirror of the ``knuth`` hash flavor."""
-    return (
-        f"((((({key} + {salt}) * {_K1}) % {_M1}) * {_K2} + 9973)"
-        f" % {_M1}) % {buckets}"
-    )
+    """The exact SQL mirror of the ``knuth`` hash flavor (pmod form —
+    negative keys bucket identically to the Spark side)."""
+    h1 = f"(((({key} + {salt}) * {_K1}) % {_M1} + {_M1}) % {_M1})"
+    h2 = f"((({h1} * {_K2} + 9973) % {_M1} + {_M1}) % {_M1})"
+    return f"(({h2} % {buckets} + {buckets}) % {buckets})"
 
 
 def _bucket_expr(key: Column, hash: str, salt: int, buckets: int) -> Column:

@@ -1,0 +1,126 @@
+"""Round-5 fixes, each pinned by a test:
+
+1. The ``knuth`` hash family buckets NEGATIVE keys correctly (pmod
+   semantics) — previously sign-preserving ``%`` sent every negative
+   key to bucket < 0, i.e. the first split of hash_split, the first
+   fractional slice of mix_corpora, and the "minima" of kmv_distinct.
+   The DuckDB mirror used the same wrong formula, so the oracle was
+   green while both engines were wrong.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestKnuthNegativeKeys:
+    def test_bucket_range_and_duckdb_parity(self, spark):
+        """Buckets land in [0, buckets) for negative keys, and the SQL
+        mirror is value-identical to the Spark expression."""
+        import duckdb  # noqa: PLC0415
+
+        from pyshp_spark.operators.sample import (  # noqa: PLC0415
+            _knuth_bucket_expr,
+            knuth_bucket_sql,
+        )
+
+        keys = list(range(-2500, 2500)) + [-(2**31) + 1, 2**31 - 1]
+        pdf = pd.DataFrame({"k": keys})
+        df = spark.createDataFrame(pdf)
+        got = (
+            df.select("k", _knuth_bucket_expr(F.col("k"), 7, 1000).alias("b"))
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert (got.b >= 0).all() and (got.b < 1000).all()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        sql = knuth_bucket_sql("k", 7, 1000)
+        want = con.execute(
+            f"SELECT k, {sql} AS b FROM t ORDER BY k"
+        ).df()
+        pd.testing.assert_series_equal(
+            got.b.astype("int64"), want.b.astype("int64"), check_names=False
+        )
+
+    def test_hash_split_negative_keys_spread(self, spark):
+        """Negative keys must spread across splits at the same fractions
+        as positive keys — not all land in 'train'."""
+        from pyshp_spark.operators.sample import hash_split  # noqa: PLC0415
+
+        pdf = pd.DataFrame({"doc_id": range(-5000, 0)})
+        df = spark.createDataFrame(pdf)
+        out = hash_split(df, key="doc_id", hash="knuth").toPandas()
+        frac = out.split.value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.03
+        assert abs(frac.get("val", 0.0) - 0.1) < 0.02
+        assert abs(frac.get("test", 0.0) - 0.1) < 0.02
+
+    def test_mix_corpora_negative_keys(self, spark):
+        """Fractional slice membership among negative keys tracks the
+        fractional weight, and epoch counts stay correct."""
+        from pyshp_spark.operators.sample import mix_corpora  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {"doc_id": range(-4000, 0), "source": ["web"] * 4000}
+        )
+        df = spark.createDataFrame(pdf)
+        out = mix_corpora(df, {"web": 1.5}, key="doc_id", hash="knuth").toPandas()
+        per_doc = out.groupby("doc_id").epoch.max()
+        frac_twice = (per_doc == 2).mean()
+        assert abs(frac_twice - 0.5) < 0.05
+        assert set(per_doc.unique()) == {1, 2}
+
+    def test_stratified_sample_negative_keys(self, spark):
+        from pyshp_spark.operators.sample import (  # noqa: PLC0415
+            stratified_sample_n,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(-1000, 0),
+                "lang": ["en" if i % 2 else "fr" for i in range(1000)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = stratified_sample_n(
+            df, strata="lang", n=40, key="doc_id", hash="knuth"
+        ).toPandas()
+        assert out.groupby("lang").size().to_dict() == {"en": 40, "fr": 40}
+        out2 = stratified_sample_n(
+            df.repartition(7), strata="lang", n=40, key="doc_id", hash="knuth"
+        ).toPandas()
+        assert set(out.doc_id) == set(out2.doc_id)
+
+    def test_kmv_negative_keys_sane_estimate(self, spark):
+        """kmv_distinct on a negative-valued column: h_k positive and
+        the estimate within KMV error bounds (was garbage before)."""
+        from pyshp_spark.operators.sketch import kmv_distinct  # noqa: PLC0415
+
+        n_distinct = 20_000
+        df = spark.range(n_distinct).select(
+            (-F.col("id") - 1).alias("v")
+        )
+        r = kmv_distinct(df, "v", k=256).collect()[0]
+        assert r.h_k > 0
+        assert r.k_actual == 256
+        # 1/sqrt(k) ~ 6.25%; allow 4 sigma
+        assert abs(r.estimate - n_distinct) / n_distinct < 0.25
+
+    def test_kmv_duckdb_parity_negative(self, spark):
+        import duckdb  # noqa: PLC0415
+
+        from pyshp_spark.operators.sketch import (  # noqa: PLC0415
+            kmv_distinct,
+            kmv_distinct_sql,
+        )
+
+        pdf = pd.DataFrame({"v": [-(i * 37 + 1) for i in range(3000)]})
+        df = spark.createDataFrame(pdf)
+        got = kmv_distinct(df, "v", k=64).toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.execute(kmv_distinct_sql("t", "v", k=64)).df()
+        assert int(got.h_k[0]) == int(want.h_k[0])
+        assert int(got.estimate[0]) == int(want.estimate[0])
