@@ -791,11 +791,18 @@ def q_kmv_distinct(spark, sf_dir):
 
 def q_json_extract(spark, sf_dir):
     # semi-structured props column: JSON-path extraction stays JVM-side
-    # (get_json_object inside codegen — no Python, no UDF)
+    # (get_json_object inside codegen — no Python, no UDF).  The cast is
+    # integer-regex-guarded + try_cast: under ANSI mode a bare cast
+    # would raise CAST_INVALID_INPUT on a non-integral value, and
+    # DuckDB's TRY_CAST('1.5' AS BIGINT) ROUNDS instead of nulling —
+    # the guard makes both engines yield NULL for anything but a plain
+    # integer token (try_cast still nulls int64 overflow, as DuckDB's
+    # TRY_CAST does).
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = F.get_json_object("props", "$.k")
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.when(s.rlike("^-?[0-9]+$"), s).try_cast("long").alias("k"),
     )
 
 
@@ -1108,10 +1115,15 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": asof_join_oracle_sql(),
         "range_join": range_join_oracle_sql(),
         "json_extract": (
-            # TRY_CAST mirrors Spark's cast-to-null on non-integer k
-            # values instead of erroring the whole oracle query
+            # integer-regex guard + TRY_CAST, mirroring the Spark side:
+            # bare TRY_CAST would ROUND '1.5' to 2 in DuckDB while
+            # Spark nulls it — the guard makes both engines NULL
+            # anything but a plain integer token (TRY_CAST still nulls
+            # int64 overflow on both)
             "SELECT event_id,"
-            " TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k"
+            " TRY_CAST(CASE WHEN regexp_full_match("
+            "   json_extract_string(props, '$.k'), '-?[0-9]+')"
+            "  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k"
             " FROM events"
         ),
         "time_rollup": rollup_counts_oracle_sql(),

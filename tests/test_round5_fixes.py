@@ -124,3 +124,51 @@ class TestKnuthNegativeKeys:
         want = con.execute(kmv_distinct_sql("t", "v", k=64)).df()
         assert int(got.h_k[0]) == int(want.h_k[0])
         assert int(got.estimate[0]) == int(want.estimate[0])
+
+
+class TestJsonExtractAnsiSafe:
+    def test_non_integral_values_null_not_crash(self, spark, tmp_path):
+        """Under ANSI mode the old bare .cast('long') raised
+        CAST_INVALID_INPUT on '1.5'; and DuckDB TRY_CAST rounds it.
+        Both sides must now yield NULL for non-integer tokens and
+        agree value-for-value."""
+        import duckdb  # noqa: PLC0415
+
+        import __spark_entry__ as entry  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(range(6)),
+                "props": [
+                    '{"k": 42}',
+                    '{"k": "1.5"}',
+                    '{"k": 1.5}',
+                    '{"k": "abc"}',
+                    '{"k": 99999999999999999999999}',
+                    '{"nope": 1}',
+                ],
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+        got = (
+            entry.q_json_extract(spark, str(sf))
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert got.k[0] == 42
+        assert got.k[1:].isna().all()
+        con = duckdb.connect()
+        con.register("events", pdf)
+        want = (
+            con.execute(entry.oracle_sql()["json_extract"])
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(
+            got.k.astype("float64"), want.k.astype("float64"),
+            check_names=False,
+        )
