@@ -114,17 +114,18 @@ def sessionize_sql(
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     ts: str,
     payload: list[str],
     tiebreak: str | None = None,
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: every ``left`` row gains the ``payload`` columns of
-    one ``right`` row of the same ``key`` — with ``direction=
-    'backward'`` (default) the LATEST right row at or before the left
-    timestamp, with ``'forward'`` the EARLIEST right row at or after
-    it (nulls when none qualifies).
+    ONE ``right`` row of the same ``key`` (a column name or a list for
+    composite keys) — with ``direction='backward'`` (default) the
+    LATEST right row at or before the left timestamp, with
+    ``'forward'`` the EARLIEST right row at or after it (nulls when
+    none qualifies).
 
     At equal timestamps the right row wins (<=/>= semantics); among
     right rows sharing (key, ts) the greatest ``tiebreak`` wins for
@@ -134,18 +135,36 @@ def asof_join(
 
     Plan shape: union (no shuffle) -> one window per key -> filter.
     The right payload rides a running ``last(ignorenulls)`` instead of
-    any join, so there is exactly ONE exchange and zero fan-out.
+    any join, so there is exactly ONE exchange and zero fan-out.  All
+    payload columns travel as ONE struct (non-null on every right
+    row), so the match really is a single right row: a payload field
+    that is legitimately NULL on the matched row stays NULL — it is
+    never backfilled from an older row, and different fields are never
+    stitched from different right rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("key must name at least one column")
+    clash = [f"asof_{c}" for c in payload if f"asof_{c}" in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} already exist in left — "
+            "rename or drop them before joining"
+        )
+    from pyspark.sql import types as T  # noqa: PLC0415
+
     ts_us = "__asof_us"
     side = "__asof_side"
     ordc = "__asof_ord"
-    pay = [f"__r_{c}" for c in payload]
+    payc = "__asof_pay"
+    pay_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
 
     lt = left.withColumn(ts_us, _us(left, ts)).withColumn(side, F.lit(1))
-    for c, pc in zip(payload, pay):
-        lt = lt.withColumn(pc, F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn(payc, F.lit(None).cast(pay_t))
     lt = lt.withColumn(
         ordc,
         F.lit(None).cast(
@@ -154,12 +173,13 @@ def asof_join(
     )
 
     rt = right.withColumn(ts_us, _us(right, ts)).withColumn(side, F.lit(0))
-    for c, pc in zip(payload, pay):
-        rt = rt.withColumn(pc, F.col(c))
+    rt = rt.withColumn(
+        payc, F.struct(*[F.col(c).alias(c) for c in payload])
+    )
     rt = rt.withColumn(
         ordc, F.col(tiebreak) if tiebreak else F.lit(None).cast("long")
     )
-    rt = rt.select(key, ts_us, side, ordc, *pay)
+    rt = rt.select(*keys, ts_us, side, ordc, payc)
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
@@ -168,11 +188,11 @@ def asof_join(
     # semantics); among right rows sharing (key, ts) the winning
     # tiebreak sorts LAST so last(ignorenulls) picks it (greatest for
     # backward's ascending order, smallest for forward's descending).
-    # Left rows all carry null ord + null payload, so their relative
-    # order among ties cannot change any left row's carried value.
-    # Forward is backward on reversed time: descending ts makes the
-    # "most recently passed" right row the earliest one at/after the
-    # left timestamp.
+    # Left rows all carry null ord + null payload struct, so their
+    # relative order among ties cannot change any left row's carried
+    # value.  Forward is backward on reversed time: descending ts makes
+    # the "most recently passed" right row the earliest one at/after
+    # the left timestamp.
     if direction == "backward":
         order = [
             F.col(ts_us).asc(), F.col(side).asc(),
@@ -184,23 +204,24 @@ def asof_join(
             F.col(ordc).desc_nulls_first(),
         ]
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     both = lt.select(*rt.columns).unionByName(rt)
-    for c, pc in zip(payload, pay):
-        both = both.withColumn(
-            f"asof_{c}", F.last(F.col(pc), ignorenulls=True).over(w)
-        )
-    keep = [c for c in left.columns] + [f"asof_{c}" for c in payload]
+    both = both.withColumn(
+        payc, F.last(F.col(payc), ignorenulls=True).over(w)
+    )
+    keep = [F.col(c) for c in left.columns] + [
+        F.col(payc).getField(c).alias(f"asof_{c}") for c in payload
+    ]
     return both.where(F.col(side) == 1).select(*keep)
 
 
 def asof_join_sql(
     left_sql: str,
     right_sql: str,
-    key: str,
+    key: str | list[str],
     ts: str,
     payload: list[str],
     left_cols: str,
@@ -210,20 +231,23 @@ def asof_join_sql(
     row per (key, ts) keeping the greatest ``tiebreak`` (exactly the
     row the window formulation selects), then ASOF JOIN on
     ``l.ts >= r.ts``."""
+    keys = [key] if isinstance(key, str) else list(key)
     pay = ", ".join(f"r.{c} AS asof_{c}" for c in payload)
+    part = ", ".join(keys)
+    on = " AND ".join(f"l.{k} = r.{k}" for k in keys)
     return f"""
         WITH l AS ({left_sql}),
         r0 AS ({right_sql}),
         r AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY {key}, {ts} ORDER BY {tiebreak} DESC
+                    PARTITION BY {part}, {ts} ORDER BY {tiebreak} DESC
                 ) AS __rn FROM r0
             ) WHERE __rn = 1
         )
         SELECT {left_cols}, {pay}
         FROM l ASOF LEFT JOIN r
-          ON l.{key} = r.{key} AND l.{ts} >= r.{ts}
+          ON {on} AND l.{ts} >= r.{ts}
     """
 
 

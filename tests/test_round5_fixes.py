@@ -172,3 +172,128 @@ class TestJsonExtractAnsiSafe:
             got.k.astype("float64"), want.k.astype("float64"),
             check_names=False,
         )
+
+
+class TestAsofOneRightRow:
+    """asof_join's payload travels as one struct: the matched right row
+    is a single row, NULL payload fields ride along (not backfilled
+    from staler rows), and fields are never stitched across rows."""
+
+    def test_null_payload_not_backfilled(self, spark):
+        from pyshp_spark.operators.temporal import asof_join  # noqa: PLC0415
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": ["u"], "t": pd.to_datetime([30], unit="s")})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["u", "u"],
+                    "t": pd.to_datetime([10, 20], unit="s"),
+                    "v": [5.0, None],
+                }
+            )
+        )
+        out = asof_join(
+            left, right, key="k", ts="t", payload=["v"]
+        ).toPandas()
+        # matched row is t=20 whose v IS NULL — must stay NULL
+        assert len(out) == 1
+        assert pd.isna(out.asof_v[0])
+
+    def test_fields_not_stitched_across_rows(self, spark):
+        from pyshp_spark.operators.temporal import asof_join  # noqa: PLC0415
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": ["u"], "t": pd.to_datetime([30], unit="s")})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["u", "u"],
+                    "t": pd.to_datetime([10, 20], unit="s"),
+                    "a": [1.0, None],
+                    "b": [None, 2.0],
+                }
+            )
+        )
+        out = asof_join(
+            left, right, key="k", ts="t", payload=["a", "b"]
+        ).toPandas()
+        # one right row (t=20): a=None, b=2 — the old per-column
+        # last(ignorenulls) stitched a=1 from t=10
+        assert pd.isna(out.asof_a[0])
+        assert out.asof_b[0] == 2.0
+
+    def test_composite_key_parity_with_pandas(self, spark):
+        from pyshp_spark.operators.temporal import asof_join  # noqa: PLC0415
+
+        rng = __import__("numpy").random.default_rng(11)
+        lt = pd.DataFrame(
+            {
+                "k1": rng.integers(0, 3, 200),
+                "k2": rng.integers(0, 2, 200),
+                "t": pd.to_datetime(rng.integers(0, 1000, 200), unit="s"),
+            }
+        )
+        rt = pd.DataFrame(
+            {
+                "k1": rng.integers(0, 3, 150),
+                "k2": rng.integers(0, 2, 150),
+                "t": pd.to_datetime(rng.integers(0, 1000, 150), unit="s"),
+                "v": rng.normal(size=150),
+            }
+        ).drop_duplicates(["k1", "k2", "t"])
+        got = (
+            asof_join(
+                spark.createDataFrame(lt),
+                spark.createDataFrame(rt),
+                key=["k1", "k2"],
+                ts="t",
+                payload=["v"],
+            )
+            .toPandas()
+            .sort_values(["k1", "k2", "t"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lt.sort_values("t"),
+            rt.sort_values("t"),
+            on="t",
+            by=["k1", "k2"],
+            direction="backward",
+        ).sort_values(["k1", "k2", "t"]).reset_index(drop=True)
+        got_s = got.sort_values(["k1", "k2", "t", "asof_v"]).reset_index(
+            drop=True
+        )
+        want_s = want.sort_values(["k1", "k2", "t", "v"]).reset_index(
+            drop=True
+        )
+        assert len(got_s) == len(want_s)
+        pd.testing.assert_series_equal(
+            got_s.asof_v, want_s.v, check_names=False
+        )
+
+    def test_collision_guard(self, spark):
+        from pyshp_spark.operators.temporal import asof_join  # noqa: PLC0415
+
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["u"],
+                    "t": pd.to_datetime([1], unit="s"),
+                    "asof_v": [0.0],
+                }
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["u"],
+                    "t": pd.to_datetime([1], unit="s"),
+                    "v": [1.0],
+                }
+            )
+        )
+        with pytest.raises(ValueError, match="asof_v"):
+            asof_join(left, right, key="k", ts="t", payload=["v"])
