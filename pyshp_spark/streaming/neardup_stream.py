@@ -29,6 +29,44 @@ set.  Per micro-batch cost is O(batch + collisions), never O(corpus):
    never double-drop, double-keep, or grow the store (idempotent
    re-run).
 
+State-store layout (the 100 TB shape):
+
+* Both stores carry a second partition column ``__bucket`` =
+  pmod(xxhash64(probe key), _NUM_BUCKETS) — bands bucket on
+  (band, band_sig), texts on id.  A per-batch probe first computes the
+  (bounded, <= _NUM_BUCKETS) set of buckets its own keys hash to and
+  filters the corpus read with a literal IN, so Spark's partition
+  pruning skips every non-matching bucket directory at listing time.
+  For the text side this prunes hard every batch (the candidate set is
+  tiny); for the band side it prunes trickle batches (a large batch
+  touches every bucket — inherent to an LSH probe without an index
+  server).  Band files are additionally sorted by (band, band_sig) so
+  parquet row-group stats skip within files.
+* Every ``compact_every`` batches the accumulated ``batch_id=N``
+  directories fold into ONE consolidated partition (named after the
+  newest compacted batch), so directory count — and with it listing
+  cost and small-file count — stays bounded by
+  O(compact_every x buckets) instead of growing one directory per
+  micro-batch forever.  Compaction is crash-safe and retry-idempotent:
+  it only ever touches batches ``< current`` (already committed by the
+  streaming engine, never retried), stages into a dot-prefixed temp
+  dir that Spark's file listing ignores, requires the temp's _SUCCESS
+  marker before retiring old directories, and dedups on the state key
+  so a partially-compacted store re-compacts to the same rows.
+
+Semantics note (first-arrival-wins, documented divergence from batch):
+only SURVIVORS' bands persist.  A later doc that near-duplicates a
+dropped non-keeper member of an earlier batch — but not that cluster's
+keeper (Jaccard is not transitive) — is therefore ACCEPTED, where the
+batch pipeline's connected components over the full corpus would have
+chained it into the cluster and dropped it.  This is the contract: the
+accepted corpus is the ground set, each arrival is judged against
+accepted docs only, and acceptance is final.  It keeps the store
+proportional to the DEDUPED corpus (not the raw stream) and makes
+acceptance independent of rejected history; pipelines that need
+batch-equivalent clustering should run the batch operators over the
+accepted output instead.
+
 The reference has no streaming surface (SURVEY.md §2.10); this is the
 engine's forward-looking ingest-bus shape, mirroring
 ``streaming_exact_dedup``'s first-arrival-wins contract at near-dup
@@ -38,6 +76,7 @@ granularity.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +90,30 @@ from pyshp_spark.operators.dedup import (
 
 _BANDS_SUB = "bands"
 _TEXTS_SUB = "texts"
+
+#: hash buckets per state store: the partition-pruning granularity.
+#: Listing cost after compaction is O(_NUM_BUCKETS); a probe that
+#: touches B distinct buckets reads B/_NUM_BUCKETS of the store.
+_NUM_BUCKETS = 32
+
+
+def _bucket_of(*cols) -> F.Column:
+    return F.pmod(F.xxhash64(*cols), F.lit(_NUM_BUCKETS))
+
+
+def _error_condition(e) -> str:
+    """The structured error class of a Spark exception — matched on in
+    preference to message substrings, which drift across versions."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                continue
+            if cond:
+                return cond
+    return ""
 
 
 def _read_state(spark: SparkSession, path: str, batch_id: int) -> DataFrame | None:
@@ -66,12 +129,91 @@ def _read_state(spark: SparkSession, path: str, batch_id: int) -> DataFrame | No
         # analysis error — conflicting directory layout, duplicate
         # columns, schema drift — must propagate and fail the batch:
         # treating it as "no corpus" would silently accept duplicates
-        # and pollute the store.
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+        # and pollute the store.  Match the structured error class
+        # first; the message substring is a fallback for versions
+        # without one.
+        cond = _error_condition(e)
+        empty = {"UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"}
+        if any(c in cond for c in empty) or any(c in str(e) for c in empty):
             return None
         raise
     # ignore this batch's own half-written state from a failed attempt
     return df.where(F.col("batch_id") < F.lit(batch_id))
+
+
+def _write_state_partition(
+    df: DataFrame, path: str, sort_cols: list[str]
+) -> None:
+    """One ``batch_id=N`` state partition: sub-partitioned by
+    ``__bucket`` (pruning), one file per bucket (repartition), rows
+    sorted so parquet min/max stats are tight."""
+    (
+        df.repartition("__bucket")
+        .sortWithinPartitions(*sort_cols)
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _compact_state(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    key_cols: list[str],
+    sort_cols: list[str],
+) -> None:
+    """Fold every ``batch_id=N`` directory with N < ``batch_id`` into a
+    single consolidated partition named ``batch_id=<batch_id - 1>``.
+
+    Crash-safe at every step when the processing of ``batch_id`` is
+    retried: batches < current are committed (never retried), the temp
+    dir is dot-prefixed (invisible to Spark reads), old directories are
+    retired only once the temp's _SUCCESS marker exists, and the
+    pre-compaction dedup on ``key_cols`` makes a re-run over a
+    partially-retired store produce identical rows."""
+    if not os.path.isdir(path):
+        return
+    old = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+    ]
+    tmp = os.path.join(path, f".compact_tmp_{batch_id}")
+    done = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    if len(old) <= 1 and not done:
+        return
+    if not done:
+        df = (
+            spark.read.parquet(path)
+            .where(F.col("batch_id") < F.lit(batch_id))
+            .dropDuplicates(key_cols)
+            .drop("batch_id")
+        )
+        (
+            df.repartition("__bucket")
+            .sortWithinPartitions(*sort_cols)
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    for d in old:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    os.rename(tmp, os.path.join(path, f"batch_id={batch_id - 1}"))
+
+
+def _pruned(corpus: DataFrame, probe: DataFrame, bucket_col) -> DataFrame:
+    """Filter a state read to the (bounded) set of ``__bucket`` values
+    the probe side's keys hash into — a literal IN, so the non-matching
+    bucket directories are pruned at file-listing time.  The collect is
+    at most _NUM_BUCKETS small integers."""
+    buckets = [
+        r[0]
+        for r in probe.select(bucket_col.alias("__b")).distinct().collect()
+    ]
+    if len(buckets) >= _NUM_BUCKETS:
+        return corpus
+    return corpus.where(F.col("__bucket").isin(buckets))
 
 
 def neardup_filter_batch(
@@ -85,6 +227,7 @@ def neardup_filter_batch(
     width: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    compact_every: int = 16,
 ) -> DataFrame:
     """One micro-batch of the streaming near-dup filter: returns the
     ACCEPTED rows of ``batch_df`` (all original columns) and writes
@@ -93,8 +236,19 @@ def neardup_filter_batch(
     within the batch the smallest id per near-dup cluster wins, and an
     intra-batch cluster is dropped WHOLE when any of its members
     near-duplicates an already-accepted corpus doc (its canonical
-    representative already lives in the corpus)."""
+    representative already lives in the corpus).  Every
+    ``compact_every`` batches the state directories fold into one
+    consolidated partition (set ``compact_every=0`` to disable)."""
     spark = batch_df.sparkSession
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        _compact_state(
+            spark, os.path.join(state_dir, _BANDS_SUB), batch_id,
+            key_cols=["id", "band"], sort_cols=["band", "band_sig"],
+        )
+        _compact_state(
+            spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
+            key_cols=["id"], sort_cols=["id"],
+        )
     b = batch_df.dropDuplicates([key]).localCheckpoint(eager=True)
 
     # signatures are the dominant per-batch compute: materialize them
@@ -137,6 +291,9 @@ def neardup_filter_batch(
         corpus_bands = corpus_texts = None
     keep = keepers.where(~F.col("is_dup"))
     if corpus_bands is not None and corpus_texts is not None:
+        corpus_bands = _pruned(
+            corpus_bands, all_bands, _bucket_of(F.col("band"), F.col("band_sig"))
+        )
         cand = (
             all_bands.select(F.col("id").alias("__nid"), "band", "band_sig")
             .join(
@@ -147,6 +304,12 @@ def neardup_filter_batch(
             )
             .select("__nid", "__cid")
             .dropDuplicates(["__nid", "__cid"])
+            .localCheckpoint(eager=True)
+        )
+        # the candidate set is tiny (band collisions only), so its id
+        # buckets prune the TEXT store scan hard — the store's fat side
+        corpus_texts = _pruned(
+            corpus_texts, cand, _bucket_of(F.col("__cid"))
         )
         verify = true_jaccard_udf(width)
         dup_ids = (
@@ -178,13 +341,19 @@ def neardup_filter_batch(
     # 3. write the accepted docs' state into per-batch partition dirs
     # (overwrite: a retried batch replaces its own half-written state
     # instead of appending a duplicate copy)
-    new_bands.write.mode("overwrite").parquet(
-        os.path.join(state_dir, _BANDS_SUB, f"batch_id={batch_id}")
+    _write_state_partition(
+        new_bands.withColumn(
+            "__bucket", _bucket_of(F.col("band"), F.col("band_sig"))
+        ),
+        os.path.join(state_dir, _BANDS_SUB, f"batch_id={batch_id}"),
+        sort_cols=["band", "band_sig"],
     )
-    survivors.select(
-        F.col(key).alias("id"), F.col(text).alias("text")
-    ).write.mode("overwrite").parquet(
-        os.path.join(state_dir, _TEXTS_SUB, f"batch_id={batch_id}")
+    _write_state_partition(
+        survivors.select(
+            F.col(key).alias("id"), F.col(text).alias("text")
+        ).withColumn("__bucket", _bucket_of(F.col("id"))),
+        os.path.join(state_dir, _TEXTS_SUB, f"batch_id={batch_id}"),
+        sort_cols=["id"],
     )
     return survivors
 
@@ -199,6 +368,7 @@ def minhash_neardup_sink(
     width: int = 3,
     threshold: float = 0.5,
     seed: int = 1,
+    compact_every: int = 16,
 ):
     """foreachBatch function for a streaming query: only the FIRST
     arrival of each near-dup cluster reaches ``out_dir``.
@@ -215,6 +385,7 @@ def minhash_neardup_sink(
             batch_df, state_dir, int(batch_id),
             key=key, text=text, num_perm=num_perm, bands=bands,
             width=width, threshold=threshold, seed=seed,
+            compact_every=compact_every,
         )
         kept.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={int(batch_id)}")

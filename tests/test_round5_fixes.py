@@ -297,3 +297,145 @@ class TestAsofOneRightRow:
         )
         with pytest.raises(ValueError, match="asof_v"):
             asof_join(left, right, key="k", ts="t", payload=["v"])
+
+
+class TestNeardupStateCompaction:
+    def _run_stream(self, spark, state, n_batches, compact_every):
+        from pyshp_spark.streaming.neardup_stream import (  # noqa: PLC0415
+            neardup_filter_batch,
+        )
+
+        accepted = []
+        for bi in range(n_batches):
+            texts = [
+                f"document number {bi * 4 + j} with some shared running text"
+                f" corpus {'alpha beta gamma' if j % 2 else 'delta eps zeta'}"
+                for j in range(4)
+            ]
+            # make every odd batch duplicate the previous batch's docs
+            if bi % 2 == 1:
+                texts = [
+                    f"document number {(bi - 1) * 4 + j} with some shared"
+                    f" running text corpus"
+                    f" {'alpha beta gamma' if j % 2 else 'delta eps zeta'}"
+                    for j in range(4)
+                ]
+            df = spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": [bi * 4 + j for j in range(4)], "text": texts}
+                )
+            )
+            out = neardup_filter_batch(
+                df, state, batch_id=bi, compact_every=compact_every
+            )
+            accepted.extend(sorted(r.doc_id for r in out.collect()))
+        return accepted
+
+    def test_compaction_preserves_decisions_and_bounds_dirs(
+        self, spark, tmp_path
+    ):
+        """Accept/drop decisions with compaction on must equal the
+        uncompacted run, and the state dir count must stay bounded."""
+        import os  # noqa: PLC0415
+
+        a = self._run_stream(spark, str(tmp_path / "s_nc"), 8, compact_every=0)
+        b = self._run_stream(spark, str(tmp_path / "s_c"), 8, compact_every=3)
+        assert a == b
+        for sub in ("bands", "texts"):
+            nc = [
+                d
+                for d in os.listdir(tmp_path / "s_nc" / sub)
+                if d.startswith("batch_id=")
+            ]
+            c = [
+                d
+                for d in os.listdir(tmp_path / "s_c" / sub)
+                if d.startswith("batch_id=")
+            ]
+            assert len(nc) == 8
+            # last compaction at batch 6 folds 0..5 into one dir; 6,7 add
+            assert len(c) <= 3, c
+
+    def test_compaction_rerun_is_idempotent(self, spark, tmp_path):
+        """Re-running compaction for the same batch over a
+        partially-retired store (crash between temp write and dir
+        retirement) yields the same consolidated rows."""
+        from pyshp_spark.streaming.neardup_stream import (  # noqa: PLC0415
+            _compact_state,
+            neardup_filter_batch,
+        )
+
+        state = str(tmp_path / "s")
+        for bi in range(4):
+            df = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": [bi * 2, bi * 2 + 1],
+                        "text": [
+                            f"wholly distinct document text number {bi * 2}"
+                            " padded with words",
+                            f"wholly distinct document text number {bi * 2 + 1}"
+                            " padded with words",
+                        ],
+                    }
+                )
+            )
+            neardup_filter_batch(df, state, batch_id=bi, compact_every=0)
+        bands_path = f"{state}/bands"
+        before = (
+            spark.read.parquet(bands_path)
+            .drop("batch_id", "__bucket")
+            .toPandas()
+            .sort_values(["id", "band"])
+            .reset_index(drop=True)
+        )
+        _compact_state(
+            spark, bands_path, 4, key_cols=["id", "band"],
+            sort_cols=["band", "band_sig"],
+        )
+        # crash simulation: compaction ran once; re-run must be a no-op
+        _compact_state(
+            spark, bands_path, 4, key_cols=["id", "band"],
+            sort_cols=["band", "band_sig"],
+        )
+        after = (
+            spark.read.parquet(bands_path)
+            .drop("batch_id", "__bucket")
+            .toPandas()
+            .sort_values(["id", "band"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(before, after)
+        import os  # noqa: PLC0415
+
+        dirs = [
+            d for d in os.listdir(bands_path) if d.startswith("batch_id=")
+        ]
+        assert dirs == ["batch_id=3"]
+
+    def test_bucket_pruning_filters_partitions(self, spark, tmp_path):
+        """The probe's corpus read carries a __bucket IN filter when the
+        probe touches fewer than all buckets."""
+        from pyshp_spark.streaming.neardup_stream import (  # noqa: PLC0415
+            _NUM_BUCKETS,
+            _bucket_of,
+            _pruned,
+        )
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": range(100),
+                    "band": [0] * 100,
+                    "band_sig": [f"s{i}" for i in range(100)],
+                    "__bucket": [i % _NUM_BUCKETS for i in range(100)],
+                }
+            )
+        )
+        probe = spark.createDataFrame(
+            pd.DataFrame({"band": [0], "band_sig": ["s1"]})
+        )
+        out = _pruned(
+            corpus, probe, _bucket_of(F.col("band"), F.col("band_sig"))
+        )
+        assert out.count() < 100  # the literal IN really filtered
