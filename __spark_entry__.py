@@ -982,13 +982,47 @@ def oracle_sql() -> dict[str, str]:
               AND {pip_pred}
         """,
         "spatial_anti": f"""
-            WITH pts AS ({_PTS_SQL}), d AS ({_DIAMONDS_SQL})
+            -- cell-blocked mirror of the engine's anti join (NOT the
+            -- brute NOT-EXISTS-over-cross-join, which exceeds the
+            -- 10-minute window at sf0.1): distinct coords get a grid
+            -- cell, diamonds enumerate their covered cells (bbox over
+            -- the same 7.8125 grid, a superset of exact matches),
+            -- candidates are a cell EQUI-join refined exactly, and the
+            -- final anti is a row-level NOT EXISTS on coordinate
+            -- equality (bit-exact: both sides read identical values),
+            -- preserving per-row multiplicity of duplicate point_ids
+            WITH pts AS ({_PTS_SQL}), d AS ({_DIAMONDS_SQL}),
+            coords AS (SELECT DISTINCT x, y FROM pts),
+            dcols AS (
+                SELECT cx, cy, r, xmin, ymin, xmax, ymax,
+                       unnest(generate_series(
+                           CAST(floor(xmin / 7.8125) AS BIGINT),
+                           CAST(floor(xmax / 7.8125) AS BIGINT))) AS ccol
+                FROM d
+            ),
+            dcells AS (
+                SELECT cx, cy, r, xmin, ymin, xmax, ymax, ccol,
+                       unnest(generate_series(
+                           CAST(floor(ymin / 7.8125) AS BIGINT),
+                           CAST(floor(ymax / 7.8125) AS BIGINT))) AS crow
+                FROM dcols
+            ),
+            hit AS (
+                SELECT DISTINCT c.x, c.y
+                FROM (
+                    SELECT x, y,
+                           CAST(floor(x / 7.8125) AS BIGINT) AS ccol,
+                           CAST(floor(y / 7.8125) AS BIGINT) AS crow
+                    FROM coords
+                ) c
+                JOIN dcells dc ON c.ccol = dc.ccol AND c.crow = dc.crow
+                WHERE c.x BETWEEN dc.xmin AND dc.xmax
+                  AND c.y BETWEEN dc.ymin AND dc.ymax
+                  AND abs(c.x - dc.cx) + abs(c.y - dc.cy) < dc.r
+            )
             SELECT point_id FROM pts p
             WHERE NOT EXISTS (
-                SELECT 1 FROM d
-                WHERE p.x BETWEEN d.xmin AND d.xmax
-                  AND p.y BETWEEN d.ymin AND d.ymax
-                  AND abs(p.x - d.cx) + abs(p.y - d.cy) < d.r
+                SELECT 1 FROM hit h WHERE h.x = p.x AND h.y = p.y
             )
         """,
         "knn": f"""
