@@ -11,17 +11,18 @@ with the exact count used verbatim when fewer than k distinct hashes
 exist.  Standard KMV theory (Bar-Yossef et al. 2002): relative error
 ~ 1/sqrt(k).
 
-Plan shape at 100 TB: the hash is a codegen'd Column expression;
-``distinct().orderBy(h).limit(k)`` compiles to partial HashAggregate
-(per-partition dedup, map-side) -> Exchange -> final HashAggregate ->
-TakeOrderedAndProject.  The exchange carries one row per distinct hash
-per upstream partition — bounded by the DISTINCT cardinality (capped
-at the 2^31 domain), not the corpus row count, which is the win for
-the common "cardinality of a heavily-duplicated column" question; for
-a near-unique key it degrades to an exact-distinct shuffle like any
-engine's.  TakeOrdered itself is k-bounded and driver-free.
-Mergeability falls out of the math: the union's sketch is the k
-smallest of the concatenated sketches.
+Plan shape at 100 TB: the hash is a codegen'd Column expression; each
+input partition then pre-reduces to its own k smallest DISTINCT hashes
+inside one Arrow-batched map (a running unique-merge across the
+partition's batches — no shuffle, no per-row Python), so the ONE
+exchange carries at most k rows per upstream partition regardless of
+the column's cardinality — a near-unique BIGINT key no longer ships
+its full distinct domain.  The final distinct().orderBy(h).limit(k)
+runs over <= k x partitions rows and compiles to
+TakeOrderedAndProject (k-bounded, driver-free).  Mergeability falls
+out of the math: the union's sketch is the k smallest of the
+concatenated sketches — which is exactly what the per-partition
+pre-reduce + final take computes.
 
 The ``knuth`` flavor is the oracle-exact one (the same two-round
 multiply-mod spreader as operators/sample.py); production can swap in

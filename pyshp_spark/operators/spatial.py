@@ -190,21 +190,40 @@ def point_in_polygon_join(
         broadcast_polygons = _resolve_broadcast(
             polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
         )
-    build = _polygons_with_cells(
-        polygons.select("wkb", "xmin", "ymin", "xmax", "ymax", *gcols), grid, salt_k
-    )
-    if broadcast_polygons:
-        build = F.broadcast(build)
+    build_src = polygons.select("wkb", "xmin", "ymin", "xmax", "ymax", *gcols)
     probe = _points_with_cell(points.select(*pcols), x, y, grid, salt_k)
-
     join_keys = [_P + "cell"] + ([_P + "salt"] if salt_k else [])
+    if broadcast_polygons:
+        build = F.broadcast(_polygons_with_cells(build_src, grid, salt_k))
+        cand = probe.join(build, on=join_keys, how="inner").where(
+            point_in_bbox_expr(
+                F.col(x), F.col(y),
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            )
+        ).select(*pcols, *gcols, "wkb")
+        return _refine_pip(cand, x, y)
+
+    # shuffle path: the exploded build side replicates each polygon row
+    # x cover-cells x salt_k through the exchange — so ship only
+    # (pid, bbox, attrs), never the WKB.  The geometry re-attaches to
+    # the (much smaller) bbox-prefiltered candidate set with a plain
+    # equi-join on the dense pid: unique key, so no skew, and AQE
+    # broadcasts the dimension side when it fits.  The pid comes from
+    # monotonically_increasing_id over an eagerly localCheckpoint-ed
+    # frame, so both uses read the SAME materialized ids.
+    keyed = build_src.withColumn(
+        _P + "pid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    build = _polygons_with_cells(keyed.drop("wkb"), grid, salt_k)
     cand = probe.join(build, on=join_keys, how="inner").where(
         point_in_bbox_expr(
             F.col(x), F.col(y),
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         )
-    )
-    cand = cand.select(*pcols, *gcols, "wkb")
+    ).select(*pcols, *gcols, _P + "pid")
+    cand = cand.join(
+        keyed.select(_P + "pid", "wkb"), on=_P + "pid", how="inner"
+    ).select(*pcols, *gcols, "wkb")
     return _refine_pip(cand, x, y)
 
 

@@ -439,3 +439,83 @@ class TestNeardupStateCompaction:
             corpus, probe, _bucket_of(F.col("band"), F.col("band_sig"))
         )
         assert out.count() < 100  # the literal IN really filtered
+
+
+class TestSaltedExchangeNoWkb:
+    def _fixtures(self, spark):
+        from pyshp_spark.fixtures.images import images_fixture  # noqa: PLC0415
+        from pyshp_spark.fixtures.polygons import (  # noqa: PLC0415
+            fixture_shapefile_bytes,
+        )
+        from pyshp_spark.sources.shapefile import parse_shp_bytes  # noqa: PLC0415
+
+        shp, _, _ = fixture_shapefile_bytes(n=20, seed=42)
+        poly_pdf = parse_shp_bytes(shp)[
+            ["oid", "wkb", "xmin", "ymin", "xmax", "ymax"]
+        ]
+        polys = spark.createDataFrame(poly_pdf)
+        pts = spark.createDataFrame(
+            images_fixture(n=200, seed=7)[["image_id", "lon", "lat"]]
+        )
+        return pts, polys
+
+    def test_salted_exchange_carries_no_wkb(self, spark):
+        """The exploded (cell x salt) build-side exchange must ship
+        (pid, bbox, attrs) only — the WKB re-attaches to the
+        bbox-prefiltered candidates on the dense pid key."""
+        from pyshp_spark.operators.spatial import (  # noqa: PLC0415
+            point_in_polygon_join,
+        )
+
+        pts, polys = self._fixtures(spark)
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            out = point_in_polygon_join(
+                pts, polys, x="lon", y="lat", polygon_cols=["oid"],
+                broadcast_polygons=False, salt_k=4,
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        salted = [
+            l for l in plan.splitlines()
+            if "Exchange" in l and "__ps_salt" in l
+        ]
+        assert salted, "expected the salted exchange:\n" + plan
+        assert not any("wkb" in l for l in salted), (
+            "WKB must not ride the salted exchange:\n" + "\n".join(salted)
+        )
+
+    def test_shuffle_path_values_match_broadcast(self, spark):
+        """De-WKB'd shuffle path returns exactly the broadcast path's
+        pairs."""
+        from pyshp_spark.operators.spatial import (  # noqa: PLC0415
+            point_in_polygon_join,
+        )
+
+        pts, polys = self._fixtures(spark)
+        a = (
+            point_in_polygon_join(
+                pts, polys, x="lon", y="lat", polygon_cols=["oid"],
+                broadcast_polygons=False, salt_k=4,
+            )
+            .select("image_id", "oid")
+            .toPandas()
+            .sort_values(["image_id", "oid"])
+            .reset_index(drop=True)
+        )
+        b = (
+            point_in_polygon_join(
+                pts, polys, x="lon", y="lat", polygon_cols=["oid"],
+                broadcast_polygons=True,
+            )
+            .select("image_id", "oid")
+            .toPandas()
+            .sort_values(["image_id", "oid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
