@@ -40,6 +40,29 @@ from pyshp_spark.operators.sample import _bucket_expr, knuth_bucket_sql
 KMV_DOMAIN = 1 << 31
 
 
+def _partition_kmin(k: int):
+    """mapInPandas kernel: running k smallest distinct values across a
+    partition's Arrow batches.  State is one sorted numpy array of at
+    most k int64s; each batch merges via np.unique (C-level sort+dedup)
+    and truncates — O(batch log batch) per batch, O(k) memory."""
+
+    def f(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        best = None
+        for pdf in batches:
+            vals = pdf["h"].to_numpy()
+            if best is None:
+                best = np.unique(vals)[:k]
+            else:
+                best = np.unique(np.concatenate([best, vals]))[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"h": best})
+
+    return f
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
@@ -69,9 +92,14 @@ def kmv_distinct(
         h = _bucket_expr(F.col(col), hash, salt, KMV_DOMAIN)
     # count non-null values only: Spark sorts NULLs first and DuckDB
     # last, so letting a null hash into the sketch breaks the mirror
+    hashed = df.where(F.col(col).isNotNull()).select(h.alias("h"))
+    # per-partition k-min pre-reduce (Arrow-batched, no per-row
+    # Python): each input partition emits at most its k smallest
+    # DISTINCT hashes, so the exchange below carries <= k rows per
+    # partition even for a near-unique key — without this, a unique
+    # BIGINT column shuffles its entire distinct domain
     mins = (
-        df.where(F.col(col).isNotNull())
-        .select(h.alias("h"))
+        hashed.mapInPandas(_partition_kmin(k), schema="h long")
         .distinct()
         .orderBy("h")
         .limit(k)

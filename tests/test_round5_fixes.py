@@ -519,3 +519,46 @@ class TestSaltedExchangeNoWkb:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestKmvPartialKmin:
+    def test_exchange_preceded_by_partition_kmin(self, spark):
+        """The one exchange in the kmv plan must sit ABOVE the
+        per-partition k-min map, so it carries <= k rows per input
+        partition even on a unique key."""
+        from pyshp_spark.operators.sketch import kmv_distinct  # noqa: PLC0415
+
+        df = spark.range(200_000).select(F.col("id").alias("v"))
+        out = kmv_distinct(df, "v", k=64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        map_idx = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+        ex_idx = [
+            i
+            for i, l in enumerate(lines)
+            if "Exchange" in l and "BroadcastExchange" not in l
+        ]
+        assert map_idx, plan
+        assert ex_idx, plan
+        # tree prints parents before children: every shuffle exchange
+        # must be a parent of (printed before) the k-min map
+        assert max(ex_idx) < min(map_idx), plan
+
+    def test_unique_key_estimate_and_oracle_parity(self, spark):
+        import duckdb  # noqa: PLC0415
+
+        from pyshp_spark.operators.sketch import (  # noqa: PLC0415
+            kmv_distinct,
+            kmv_distinct_sql,
+        )
+
+        n = 50_000
+        pdf = pd.DataFrame({"v": range(n)})
+        df = spark.createDataFrame(pdf).repartition(8)
+        got = kmv_distinct(df, "v", k=256).toPandas()
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.execute(kmv_distinct_sql("t", "v", k=256)).df()
+        assert int(got.h_k[0]) == int(want.h_k[0])
+        assert int(got.estimate[0]) == int(want.estimate[0])
+        assert abs(int(got.estimate[0]) - n) / n < 0.25
