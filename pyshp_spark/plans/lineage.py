@@ -99,12 +99,30 @@ def run_with_lineage(
     ``points`` with per-bucket lineage commits; returns the full output
     (reading back committed parquet).  Safe to re-invoke after a crash:
     completed buckets are skipped.
+
+    The input is scanned exactly ONCE: the bucketed frame is staged to
+    a ``__bucket``-partitioned parquet copy under the checkpoint dir
+    first (skipped when the staging's _SUCCESS marker already exists —
+    a resume reuses the original staging), and every per-bucket read —
+    the job input AND the rows_in stats — is then a partition-PRUNED
+    scan of that staging, not a re-scan of the source.  Without this,
+    a ``num_buckets``-bucket job re-read the full 100 TB input once
+    per bucket.
     """
     ckpt = LineageCheckpoint(checkpoint_dir)
     done = ckpt.completed_buckets()
-    bucketed = points.withColumn(
-        "__bucket", F.pmod(F.col(cell_col), F.lit(num_buckets)).cast("int")
-    )
+    staged = os.path.join(checkpoint_dir, "staged_input")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        (
+            points.withColumn(
+                "__bucket",
+                F.pmod(F.col(cell_col), F.lit(num_buckets)).cast("int"),
+            )
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+    bucketed = spark.read.parquet(staged)
     for b in range(num_buckets):
         if b in done:
             continue

@@ -562,3 +562,59 @@ class TestKmvPartialKmin:
         assert int(got.h_k[0]) == int(want.h_k[0])
         assert int(got.estimate[0]) == int(want.estimate[0])
         assert abs(int(got.estimate[0]) - n) / n < 0.25
+
+
+class TestSingleScanLineage:
+    def test_staged_input_and_pruned_bucket_reads(self, spark, tmp_path):
+        """run_with_lineage stages the bucketed input once; per-bucket
+        inputs are partition-pruned scans of the staging (not source
+        re-scans)."""
+        import os  # noqa: PLC0415
+
+        from pyshp_spark.plans.lineage import run_with_lineage  # noqa: PLC0415
+
+        src = str(tmp_path / "src")
+        spark.range(1000).select(
+            F.col("id").alias("point_id"), (F.col("id") % 97).alias("cell")
+        ).write.parquet(src)
+        points = spark.read.parquet(src)
+
+        plans = []
+
+        def job(df):
+            plans.append(df._jdf.queryExecution().executedPlan().toString())
+            return df.groupBy("cell").count()
+
+        ck = str(tmp_path / "ck")
+        out = run_with_lineage(spark, points, job, ck, num_buckets=4)
+        assert out.count() == 97
+        assert os.path.exists(os.path.join(ck, "staged_input", "_SUCCESS"))
+        assert len(plans) == 4
+        for p in plans:
+            # every bucket job reads the staging with a partition filter
+            assert "staged_input" in p, p
+            assert "__bucket" in p.split("PartitionFilters", 1)[1].split(
+                "\n"
+            )[0], p
+
+    def test_resume_skips_staging_rewrite(self, spark, tmp_path):
+        import os  # noqa: PLC0415
+
+        from pyshp_spark.plans.lineage import run_with_lineage  # noqa: PLC0415
+
+        points = spark.range(100).select(
+            F.col("id").alias("point_id"), (F.col("id") % 7).alias("cell")
+        )
+        ck = str(tmp_path / "ck2")
+        run_with_lineage(spark, points, lambda d: d, ck, num_buckets=2)
+        mtime = os.path.getmtime(
+            os.path.join(ck, "staged_input", "_SUCCESS")
+        )
+        # drop one lineage row to force a partial resume
+        os.remove(os.path.join(ck, "lineage", "bucket-1.parquet"))
+        out = run_with_lineage(spark, points, lambda d: d, ck, num_buckets=2)
+        assert out.count() == 100
+        assert (
+            os.path.getmtime(os.path.join(ck, "staged_input", "_SUCCESS"))
+            == mtime
+        ), "resume must reuse the original staging (one input scan total)"
