@@ -258,6 +258,7 @@ def interval_join(
     start: str = "start_us",
     end: str = "end_us",
     bucket_s: float = 600.0,
+    salt_k: int | None = None,
 ) -> DataFrame:
     """All (point, interval) pairs with ``start_us <= unix_micros(ts)
     < end_us`` (end-exclusive), via fixed-width time-bucket blocking.
@@ -266,7 +267,17 @@ def interval_join(
     ``bucket_s`` at or above the typical interval width), each point
     computes one bucket, and the match is a bucket equi-join + exact
     integer refine.  No dedup needed: a point's bucket is unique and an
-    interval lists each bucket once."""
+    interval lists each bucket once.
+
+    ``salt_k`` is the hot-bucket guard (the 1-D analogue of the PIP
+    join's salt): a burst window concentrating a large share of events
+    in ONE time bucket would land them all on one reducer of the
+    sort-merge join.  With ``salt_k=N`` each event adds a deterministic
+    hash salt in [0, N) to the join key and each interval-bucket row
+    replicates N ways, splitting a hot bucket across N tasks at the
+    cost of an interval-side (dimension-side, bounded) fan-out.  AQE's
+    skew-join split stays the first line of defense; the salt covers
+    plans AQE can't re-split (e.g. immediately-aggregated joins)."""
     b_us = int(round(bucket_s * US))
     # integer div keeps the bucket math exact at epoch-microsecond
     # magnitudes (double division can be off by one at the boundary);
@@ -284,12 +295,29 @@ def interval_join(
     pt = points.withColumn("__pt_us", _us(points, ts)).withColumn(
         "__bucket", F.expr(f"__pt_us div {b_us}")
     )
+    on = ["__bucket"]
+    drop = ["__bucket", "__pt_us"]
+    if salt_k:
+        iv = iv.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
+        )
+        # salt on ALL event columns, not just the timestamp: a burst of
+        # same-timestamp events must still spread across reducers
+        pt = pt.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in points.columns]),
+                F.lit(salt_k),
+            ).cast("int"),
+        )
+        on = ["__bucket", "__salt"]
+        drop = ["__bucket", "__salt", "__pt_us"]
     return (
-        pt.join(iv, "__bucket")
+        pt.join(iv, on)
         .where(
             (F.col("__pt_us") >= F.col(start)) & (F.col("__pt_us") < F.col(end))
         )
-        .drop("__bucket", "__pt_us")
+        .drop(*drop)
     )
 
 

@@ -618,3 +618,72 @@ class TestSingleScanLineage:
             os.path.getmtime(os.path.join(ck, "staged_input", "_SUCCESS"))
             == mtime
         ), "resume must reuse the original staging (one input scan total)"
+
+
+class TestIntervalJoinSkewGuard:
+    def _skewed(self, spark):
+        import numpy as np  # noqa: PLC0415
+
+        rng = np.random.default_rng(3)
+        # one 10-minute bucket holds ~25% of all events (burst window)
+        n = 4000
+        burst = rng.integers(0, 600, n // 4)
+        spread = rng.integers(600, 36_000, 3 * n // 4)
+        secs = np.concatenate([burst, spread])
+        ev = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.to_datetime(secs, unit="s"),
+            }
+        )
+        iv = pd.DataFrame(
+            {
+                "iv_id": range(60),
+                "start_us": [i * 550 * 1_000_000 for i in range(60)],
+                "end_us": [(i * 550 + 400) * 1_000_000 for i in range(60)],
+            }
+        )
+        return spark.createDataFrame(ev), spark.createDataFrame(iv)
+
+    def test_salted_parity_under_skew(self, spark):
+        from pyshp_spark.operators.temporal import interval_join  # noqa: PLC0415
+
+        ev, iv = self._skewed(spark)
+        base = (
+            interval_join(ev, iv)
+            .select("event_id", "iv_id")
+            .toPandas()
+            .sort_values(["event_id", "iv_id"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            interval_join(ev, iv, salt_k=8)
+            .select("event_id", "iv_id")
+            .toPandas()
+            .sort_values(["event_id", "iv_id"])
+            .reset_index(drop=True)
+        )
+        assert len(base) > 0
+        pd.testing.assert_frame_equal(base, salted)
+
+    def test_salted_plan_is_non_degenerate(self, spark):
+        """Under forced shuffle the salted join must be a SortMergeJoin
+        keyed on (__bucket, __salt) — the hot bucket really splits."""
+        from pyshp_spark.operators.temporal import interval_join  # noqa: PLC0415
+
+        ev, iv = self._skewed(spark)
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            out = interval_join(ev, iv, salt_k=8)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+        assert smj, plan
+        assert any("__salt" in l and "__bucket" in l for l in smj), (
+            "\n".join(smj)
+        )
