@@ -301,8 +301,89 @@ def scaling(levels=(2, 8), factor=30, repeats=4):
     print(json.dumps(out))
 
 
+def stream_bench(n_batches=14, batch_rows=350, dup_frac=0.1, compact_every=4):
+    """Growing-corpus streaming near-dup bench: ``n_batches`` fixed-size
+    micro-batches filter against a corpus that grows to >10x the batch
+    size (plus ``dup_frac`` of each batch re-sending batch-0 texts under
+    fresh ids, so corpus collisions actually occur).  Evidence for the
+    O(batch + collisions) per-batch claim: per-batch walls should stay
+    FLAT as the corpus grows (second-half mean ~ first-half mean), and
+    compaction keeps the state-store file count bounded."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyshp_spark.streaming.neardup_stream import neardup_filter_batch
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("__b", F.pmod(F.col("doc_id"), F.lit(n_batches)))
+        .localCheckpoint(eager=True)
+    )
+    seed_dups = (
+        docs.where(F.col("__b") == 0)
+        .limit(int(batch_rows * dup_frac))
+        .localCheckpoint(eager=True)
+    )
+    state = tempfile.mkdtemp(prefix="neardup_stream_bench_")
+    walls, kept_counts, file_counts = [], [], []
+    try:
+        for bi in range(n_batches):
+            batch = docs.where(F.col("__b") == bi).limit(batch_rows)
+            if bi > 0:
+                # re-send batch-0 texts under fresh ids: corpus hits
+                batch = batch.unionByName(
+                    seed_dups.select(
+                        (F.col("doc_id") + F.lit(10_000_000 * bi)).alias(
+                            "doc_id"
+                        ),
+                        "text",
+                        "__b",
+                    )
+                )
+            batch = batch.drop("__b")
+            t0 = time.time()
+            kept = neardup_filter_batch(
+                batch, state, batch_id=bi, compact_every=compact_every
+            )
+            kept_counts.append(kept.count())
+            walls.append(round(time.time() - t0, 3))
+            n_files = sum(
+                len([f for f in fs if f.endswith(".parquet")])
+                for _, _, fs in os.walk(state)
+            )
+            file_counts.append(n_files)
+        half = n_batches // 2
+        mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+        result = {
+            "metric": "streaming near-dup per-batch wall (growing corpus)",
+            "value": round(mean(walls[half:]), 3),
+            "unit": "sec",
+            "walls_sec": walls,
+            "kept_per_batch": kept_counts,
+            "state_parquet_files": file_counts,
+            "first_half_mean_sec": round(mean(walls[1:half]), 3),
+            "second_half_mean_sec": round(mean(walls[half:]), 3),
+            "corpus_final_rows": sum(kept_counts),
+            "batch_rows": batch_rows,
+            "n_batches": n_batches,
+            "compact_every": compact_every,
+            "sf": SF_DIR,
+        }
+        print(json.dumps(result))
+    finally:
+        spark.stop()
+        shutil.rmtree(state, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stream" in sys.argv:
+        stream_bench()
     else:
         main()
