@@ -441,23 +441,53 @@ def true_jaccard_udf(width: int = 3):
     """Exact token-shingle Jaccard over a (text_a, text_b) pair column
     — the verification kernel for every banded candidate set (MinHash
     batch + streaming).  Factorizes both sides together so each UNIQUE
-    text shingles exactly once per Arrow batch: a hot doc that appears
-    in k candidate pairs pays one shingles() call, not k; the remaining
-    per-pair work is two C-level frozenset intersections."""
+    text shingles exactly once per Arrow batch (a hot doc appearing in
+    k candidate pairs pays one shingles() call, not k), then hashes
+    each unique shingle set into one sorted-unique int64 array and
+    counts per-pair intersections with a single lexsort over
+    (pair_id, hash) — adjacent equal keys are exactly the common
+    shingles, so there is NO per-pair Python loop at all.  Shingles are
+    compared by 64-bit hash; a collision (P ~ s^2 / 2^64 per doc,
+    ~1e-15 at web-doc shingle counts) is the only way this can differ
+    from exact string-set Jaccard."""
 
     @F.pandas_udf("double")
     def true_jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
         both = pd.concat([ta, tb], ignore_index=True).fillna("")
         codes, uniques = pd.factorize(both)
-        sets = [shingles(u, width) for u in uniques]
+        arrs = []
+        for u in uniques:
+            sh = shingles(u, width)
+            if sh:
+                arrs.append(np.unique(_hash64_np(list(sh))))
+            else:
+                arrs.append(np.empty(0, dtype=np.uint64))
+        sizes = np.fromiter(
+            (a.size for a in arrs), dtype=np.int64, count=len(arrs)
+        )
         n = len(ta)
-        out = np.empty(n)
         ca, cb = codes[:n], codes[n:]
-        for i in range(n):
-            sa, sb = sets[ca[i]], sets[cb[i]]
-            inter = len(sa & sb)
-            u = len(sa) + len(sb) - inter
-            out[i] = inter / u if u else 0.0
+        la, lb = sizes[ca], sizes[cb]
+        union_max = la + lb
+        if n == 0 or int(union_max.sum()) == 0:
+            return pd.Series(np.zeros(n))
+        # one flat (pair_id, hash) table over every pair's two
+        # sorted-unique arrays; after lexsort, duplicates within a pair
+        # are precisely the intersection members
+        pair_ids = np.repeat(np.arange(n), union_max)
+        vals = np.concatenate(
+            [x for i in range(n) for x in (arrs[ca[i]], arrs[cb[i]])]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+        order = np.lexsort((vals, pair_ids))
+        pv, vv = pair_ids[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=n)
+        union = union_max - inter
+        out = np.divide(
+            inter, union, out=np.zeros(n, dtype=np.float64),
+            where=union > 0,
+        )
         return pd.Series(out)
 
     return true_jaccard
