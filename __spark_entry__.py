@@ -379,6 +379,17 @@ def q_tile_assign(spark, sf_dir):
     return out
 
 
+def q_tile_pyramid(spark, sf_dir):
+    # quadtree tile-pyramid rollup (the tile-serving / density-map
+    # cascade for a tile-georeferenced image corpus): per-tile counts
+    # at zooms 6..0, one corpus scan, coarser zooms re-aggregate the
+    # previous level — operators/spatial.py tile_pyramid
+    from pyshp_spark.operators.spatial import tile_pyramid  # noqa: PLC0415
+
+    t = _tiles(spark, sf_dir)
+    return tile_pyramid(t, tx="tile_x", ty="tile_y", zoom_max=6, zoom_min=0)
+
+
 def q_count_extent(spark, sf_dir):
     return _diamonds(spark, sf_dir).agg(
         F.count("*").alias("n_features"),
@@ -815,6 +826,14 @@ def mix_corpora_oracle_sql() -> str:
     )
 
 
+def tile_pyramid_oracle_sql() -> str:
+    from pyshp_spark.operators.spatial import tile_pyramid_sql  # noqa: PLC0415
+
+    return tile_pyramid_sql(
+        f"({_TILES_SQL})", tx="tile_x", ty="tile_y", zoom_max=6, zoom_min=0
+    )
+
+
 def rollup_counts_oracle_sql() -> str:
     from pyshp_spark.operators.temporal import rollup_counts_sql  # noqa: PLC0415
 
@@ -890,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_anti": q_spatial_anti,
         "knn": q_knn,
         "tile_assign": q_tile_assign,
+        "tile_pyramid": q_tile_pyramid,
         "count_extent": q_count_extent,
         "union_merge": q_union_merge,
         "project_slice": q_project_slice,
@@ -1161,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM events"
         ),
         "time_rollup": rollup_counts_oracle_sql(),
+        "tile_pyramid": tile_pyramid_oracle_sql(),
         "kmv_distinct": kmv_distinct_oracle_sql(),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """

@@ -874,3 +874,79 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def tile_pyramid(
+    tiles: DataFrame,
+    tx: str = "tile_x",
+    ty: str = "tile_y",
+    zoom_max: int = 6,
+    zoom_min: int = 0,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Quadtree tile-pyramid rollup: per-tile row counts at every zoom
+    from ``zoom_max`` down to ``zoom_min``, computed as a CASCADE —
+    the input is scanned ONCE at the native zoom, and every coarser
+    zoom re-aggregates the previous level's (4x smaller) output via
+    the parent transform ``(tx div 2, ty div 2)``.  The 2-D analogue
+    of temporal.rollup_counts: quadtree parents nest exactly, so the
+    cascade equals aggregating the raw table at every level.
+
+    Output: (zoom, tx, ty, *keys, n).  This is the tile-serving /
+    density-map shape for a 10^12-image corpus georeferenced by tile
+    (BASELINE north star): one corpus-sized shuffle at zoom_max, then
+    each level shuffles only the previous level's tile counts
+    (<= 4^zoom rows), never the corpus.
+    """
+    if zoom_min > zoom_max:
+        raise ValueError("zoom_min must be <= zoom_max")
+    keys = keys or []
+    cur = (
+        tiles.groupBy(
+            F.col(tx).cast("long").alias("tx"),
+            F.col(ty).cast("long").alias("ty"),
+            *keys,
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = cur.withColumn("zoom", F.lit(zoom_max).cast("int"))
+    for z in range(zoom_max - 1, zoom_min - 1, -1):
+        cur = (
+            cur.select(
+                F.expr("tx div 2").alias("tx"),
+                F.expr("ty div 2").alias("ty"),
+                *keys,
+                "n",
+            )
+            .groupBy("tx", "ty", *keys)
+            .agg(F.sum("n").alias("n"))
+        )
+        out = out.unionByName(cur.withColumn("zoom", F.lit(z).cast("int")))
+    return out.select("zoom", "tx", "ty", *keys, "n")
+
+
+def tile_pyramid_sql(
+    table: str,
+    tx: str = "tile_x",
+    ty: str = "tile_y",
+    zoom_max: int = 6,
+    zoom_min: int = 0,
+    keys: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`tile_pyramid`: each zoom aggregated
+    directly from the raw table (exactly equal to the cascade because
+    quadtree parents nest)."""
+    keys = keys or []
+    ks = "".join(f", {k}" for k in keys)
+    kg = "".join(f", {k}" for k in keys)
+    parts = []
+    for z in range(zoom_max, zoom_min - 1, -1):
+        d = 2 ** (zoom_max - z)
+        parts.append(f"""
+            SELECT CAST({z} AS INTEGER) AS zoom,
+                   CAST({tx} AS BIGINT) // {d} AS tx,
+                   CAST({ty} AS BIGINT) // {d} AS ty{ks},
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {table} GROUP BY 1, 2, 3{kg}
+        """)
+    return " UNION ALL ".join(parts)

@@ -687,3 +687,55 @@ class TestIntervalJoinSkewGuard:
         assert any("__salt" in l and "__bucket" in l for l in smj), (
             "\n".join(smj)
         )
+
+
+class TestTilePyramid:
+    def test_cascade_equals_direct_with_keys(self, spark):
+        """The quadtree cascade must equal aggregating the raw tiles at
+        every zoom (parents nest), including a grouping key."""
+        import numpy as np  # noqa: np
+
+        from pyshp_spark.operators.spatial import tile_pyramid  # noqa: PLC0415
+
+        rng = np.random.default_rng(9)
+        pdf = pd.DataFrame(
+            {
+                "tile_x": rng.integers(0, 16, 3000),
+                "tile_y": rng.integers(0, 16, 3000),
+                "fmt": rng.choice(["png", "jpg"], 3000),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            tile_pyramid(df, zoom_max=4, zoom_min=0, keys=["fmt"])
+            .toPandas()
+            .sort_values(["zoom", "tx", "ty", "fmt"])
+            .reset_index(drop=True)
+        )
+        direct = []
+        for z in range(4, -1, -1):
+            d = 2 ** (4 - z)
+            g = (
+                pdf.assign(tx=pdf.tile_x // d, ty=pdf.tile_y // d)
+                .groupby(["tx", "ty", "fmt"])
+                .size()
+                .reset_index(name="n")
+            )
+            g.insert(0, "zoom", z)
+            direct.append(g)
+        want = (
+            pd.concat(direct)
+            .sort_values(["zoom", "tx", "ty", "fmt"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        for c in ("zoom", "tx", "ty", "n"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        assert (got.fmt.to_numpy() == want.fmt.to_numpy()).all()
+
+    def test_zoom_validation(self, spark):
+        from pyshp_spark.operators.spatial import tile_pyramid  # noqa: PLC0415
+
+        df = spark.createDataFrame(pd.DataFrame({"tile_x": [1], "tile_y": [1]}))
+        with pytest.raises(ValueError):
+            tile_pyramid(df, zoom_max=2, zoom_min=5)
