@@ -70,6 +70,8 @@ def workload_map():
         "q15_range_join": em.q_range_join,
         "q16_time_rollup": em.q_time_rollup,
         "q17_kmv_distinct": em.q_kmv_distinct,
+        # round-5: quadtree tile-pyramid rollup (image-tile density map)
+        "q18_tile_pyramid": em.q_tile_pyramid,
     }
 
 
