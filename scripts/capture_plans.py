@@ -123,9 +123,12 @@ def main():
     sections["time_rollup (cascade: coarser levels re-agg the finer)"] = fmt(
         em.q_time_rollup(spark, sf_dir)
     )
-    sections["kmv_distinct (k-bounded TakeOrderedAndProject)"] = fmt(
+    sections["kmv_distinct (partition k-min pre-reduce, k-bounded "
+             "TakeOrderedAndProject)"] = fmt(
         em.q_kmv_distinct(spark, sf_dir)
     )
+    sections["tile_pyramid (quadtree cascade: coarser zooms re-agg "
+             "the finer)"] = fmt(em.q_tile_pyramid(spark, sf_dir))
 
     out = []
     for name, plan in sections.items():
