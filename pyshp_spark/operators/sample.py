@@ -131,6 +131,8 @@ def stratified_sample_n(
     key: str,
     salt: int = 0,
     hash: str = "xxhash64",
+    prefilter: bool = False,
+    oversample: int = 4,
 ) -> DataFrame:
     """Exactly ``min(n, stratum size)`` rows per stratum, selected by
     ranking the hashed key within each stratum — a deterministic
@@ -138,20 +140,91 @@ def stratified_sample_n(
     same rows).  One shuffle: the window partition on ``strata``; ties
     are impossible at the rank step because the key breaks them.
 
-    At 100 TB the window never materializes a stratum on one machine
-    beyond its sort spill; for pathological single-stratum corpora use
-    a two-level rank (bucket pre-filter on the hash) before this."""
+    ``prefilter=True`` is the giant-stratum guard: a stratum holding a
+    large share of the corpus lands in ONE window partition and one
+    task sorts it all.  The two-level variant first computes per-stratum
+    counts (map-side-combined agg), derives a per-stratum hash-bucket
+    threshold keeping ~``oversample * n`` expected survivors, and
+    prefilters with a broadcast threshold join BEFORE the window — so
+    the window sorts O(strata x oversample x n) rows, not the corpus.
+    It is EXACT, not approximate: the n smallest (hash, key) rows all
+    lie below the threshold whenever at least n rows survive it, and
+    any hash-unlucky stratum (plus NULL strata, which a join can't
+    carry) is detected lazily and routed through the full window — the
+    output rows are bit-identical to ``prefilter=False`` in every
+    case.  Use it when strata are few and fat (the threshold frame is
+    one row per stratum, broadcastable by construction in exactly the
+    regime where the guard matters)."""
     if n <= 0:
         raise ValueError("n must be positive")
     from pyspark.sql import Window
 
     h = _bucket_expr(F.col(key), hash, salt, 1 << 30)
     w = Window.partitionBy(strata).orderBy(h.asc(), F.col(key).asc())
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= n)
-        .drop("__rk")
+
+    def rank_top_n(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+
+    if not prefilter:
+        return rank_top_n(df)
+    if oversample < 2:
+        raise ValueError("oversample must be >= 2")
+    buckets = 1 << 30
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__cnt"))
+    thr = counts.select(
+        F.col(strata).alias("__ps_strata"),
+        F.least(
+            F.lit(buckets).cast("long"),
+            F.ceil(
+                F.lit(float(buckets) * n * oversample) / F.col("__cnt")
+            ).cast("long"),
+        ).alias("__thr"),
     )
+    # NULL strata can't ride an equi-join: send them straight to the
+    # full-window path (they are one partition there regardless)
+    notnull = df.where(F.col(strata).isNotNull())
+    pre = (
+        notnull.join(
+            F.broadcast(thr),
+            notnull[strata] == F.col("__ps_strata"),
+        )
+        .where(h < F.col("__thr"))
+        .drop("__ps_strata", "__thr")
+    )
+    # hash-unlucky strata (fewer survivors than n, possible only when
+    # the stratum had > n rows): re-run those through the full window.
+    # Lazy + broadcastable: one row per failing stratum, ~never any.
+    short = (
+        pre.groupBy(strata)
+        .agg(F.count(F.lit(1)).alias("__got"))
+        .join(
+            counts.withColumnRenamed(strata, "__cs"),
+            F.col(strata) == F.col("__cs"),
+        )
+        .where((F.col("__got") < n) & (F.col("__cnt") > F.col("__got")))
+        .select(F.col(strata).alias("__fb_strata"))
+    )
+    main = rank_top_n(
+        pre.join(
+            F.broadcast(short),
+            pre[strata] == F.col("__fb_strata"),
+            "left_anti",
+        )
+    )
+    fallback = rank_top_n(
+        df.where(F.col(strata).isNull()).unionByName(
+            notnull.join(
+                F.broadcast(short),
+                notnull[strata] == F.col("__fb_strata"),
+                "left_semi",
+            )
+        )
+    )
+    return main.unionByName(fallback)
 
 
 def stratified_sample_n_sql(

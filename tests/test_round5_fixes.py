@@ -739,3 +739,67 @@ class TestTilePyramid:
         df = spark.createDataFrame(pd.DataFrame({"tile_x": [1], "tile_y": [1]}))
         with pytest.raises(ValueError):
             tile_pyramid(df, zoom_max=2, zoom_min=5)
+
+
+class TestStratifiedPrefilter:
+    """Two-level (prefiltered) stratified sample must be bit-identical
+    to the plain window in every regime: giant stratum, tiny strata,
+    strata smaller than n, NULL strata, and a forced hash-unlucky
+    fallback."""
+
+    def _parity(self, spark, pdf, n, **kw):
+        from pyshp_spark.operators.sample import (  # noqa: PLC0415
+            stratified_sample_n,
+        )
+
+        df = spark.createDataFrame(pdf)
+        a = (
+            stratified_sample_n(df, "lang", n, "doc_id", prefilter=False, **kw)
+            .toPandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            stratified_sample_n(df, "lang", n, "doc_id", prefilter=True, **kw)
+            .toPandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        return a
+
+    def test_giant_plus_tiny_plus_null_strata(self, spark):
+        import numpy as np  # noqa: PLC0415
+
+        rng = np.random.default_rng(4)
+        langs = (
+            ["en"] * 20_000          # giant stratum
+            + ["fr"] * 300           # normal
+            + ["xx"] * 3             # smaller than n
+            + [None] * 50            # null stratum
+        )
+        pdf = pd.DataFrame(
+            {
+                "doc_id": rng.permutation(len(langs)).astype("int64"),
+                "lang": langs,
+            }
+        )
+        out = self._parity(spark, pdf, n=20)
+        sizes = out.fillna({"lang": "<null>"}).groupby("lang").size()
+        assert sizes["en"] == 20 and sizes["fr"] == 20
+        assert sizes["xx"] == 3 and sizes["<null>"] == 20
+
+    def test_forced_fallback_is_exact(self, spark):
+        """oversample=2 with tiny n makes hash-unlucky strata likely
+        across many strata; the fallback must keep the result exact."""
+        import numpy as np  # noqa: PLC0415
+
+        rng = np.random.default_rng(8)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": rng.permutation(30_000).astype("int64"),
+                "lang": [f"l{i % 40}" for i in range(30_000)],
+            }
+        )
+        out = self._parity(spark, pdf, n=2, oversample=2)
+        assert (out.groupby("lang").size() == 2).all()
