@@ -811,9 +811,13 @@ def q_json_extract(spark, sf_dir):
     # TRY_CAST does).
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     s = F.get_json_object("props", "$.k")
+    # \z (absolute end), not $: Java's $ matches BEFORE a final line
+    # terminator and cast trims whitespace, so '7\n' would pass on
+    # Spark while DuckDB's regexp_full_match rejects it — \z keeps the
+    # two engines token-identical
     return ev.select(
         "event_id",
-        F.when(s.rlike("^-?[0-9]+$"), s).try_cast("long").alias("k"),
+        F.when(s.rlike("^-?[0-9]+\\z"), s).try_cast("long").alias("k"),
     )
 
 

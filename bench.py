@@ -326,16 +326,25 @@ def stream_bench(n_batches=14, batch_rows=350, dup_frac=0.1, compact_every=4):
         .withColumn("__b", F.pmod(F.col("doc_id"), F.lit(n_batches)))
         .localCheckpoint(eager=True)
     )
-    seed_dups = (
+    # batch 0 is pinned ONCE and seed_dups drawn from that same frame:
+    # an independent limit() could pick docs that never entered the
+    # corpus, silently under-delivering the dup_frac collision design
+    batch0 = (
         docs.where(F.col("__b") == 0)
-        .limit(int(batch_rows * dup_frac))
+        .limit(batch_rows)
         .localCheckpoint(eager=True)
+    )
+    seed_dups = (
+        batch0.limit(int(batch_rows * dup_frac)).localCheckpoint(eager=True)
     )
     state = tempfile.mkdtemp(prefix="neardup_stream_bench_")
     walls, kept_counts, file_counts = [], [], []
     try:
         for bi in range(n_batches):
-            batch = docs.where(F.col("__b") == bi).limit(batch_rows)
+            if bi == 0:
+                batch = batch0
+            else:
+                batch = docs.where(F.col("__b") == bi).limit(batch_rows)
             if bi > 0:
                 # re-send batch-0 texts under fresh ids: corpus hits
                 batch = batch.unionByName(

@@ -154,7 +154,11 @@ def stratified_sample_n(
     output rows are bit-identical to ``prefilter=False`` in every
     case.  Use it when strata are few and fat (the threshold frame is
     one row per stratum, broadcastable by construction in exactly the
-    regime where the guard matters)."""
+    regime where the guard matters).  Cost: two corpus scans (count +
+    prefilter — inherent, the threshold derives from the counts), both
+    small intermediates eagerly localCheckpoint-ed so no subtree
+    re-scans; the rare-fallback branch's scan is elided at runtime by
+    AQE's empty-relation propagation when no stratum falls short."""
     if n <= 0:
         raise ValueError("n must be positive")
     from pyspark.sql import Window
@@ -174,7 +178,13 @@ def stratified_sample_n(
     if oversample < 2:
         raise ValueError("oversample must be >= 2")
     buckets = 1 << 30
-    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__cnt"))
+    # one row per stratum; checkpointed so thr and the shortfall check
+    # below don't each re-run the counting scan
+    counts = (
+        df.groupBy(strata)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
     thr = counts.select(
         F.col(strata).alias("__ps_strata"),
         F.least(
@@ -187,6 +197,9 @@ def stratified_sample_n(
     # NULL strata can't ride an equi-join: send them straight to the
     # full-window path (they are one partition there regardless)
     notnull = df.where(F.col(strata).isNotNull())
+    # pre is O(strata x oversample x n) rows; checkpoint it so the
+    # main window, the shortfall check, and the anti join share ONE
+    # corpus scan instead of re-reading the input per subtree
     pre = (
         notnull.join(
             F.broadcast(thr),
@@ -194,19 +207,24 @@ def stratified_sample_n(
         )
         .where(h < F.col("__thr"))
         .drop("__ps_strata", "__thr")
+        .localCheckpoint(eager=True)
     )
-    # hash-unlucky strata (fewer survivors than n, possible only when
-    # the stratum had > n rows): re-run those through the full window.
-    # Lazy + broadcastable: one row per failing stratum, ~never any.
+    # hash-unlucky strata (fewer survivors than n while the stratum
+    # holds more rows than survived — INCLUDING zero survivors, so the
+    # check must start from `counts`, where every stratum appears, not
+    # from pre's groups): re-run those through the full window.
+    # Broadcastable: one row per failing stratum, ~never any.
+    got = pre.groupBy(strata).agg(F.count(F.lit(1)).alias("__got"))
     short = (
-        pre.groupBy(strata)
-        .agg(F.count(F.lit(1)).alias("__got"))
-        .join(
-            counts.withColumnRenamed(strata, "__cs"),
-            F.col(strata) == F.col("__cs"),
+        counts.withColumnRenamed(strata, "__cs")
+        .join(got, F.col("__cs") == got[strata], "left")
+        .select(
+            "__cs",
+            "__cnt",
+            F.coalesce(F.col("__got"), F.lit(0)).alias("__got"),
         )
         .where((F.col("__got") < n) & (F.col("__cnt") > F.col("__got")))
-        .select(F.col(strata).alias("__fb_strata"))
+        .select(F.col("__cs").alias("__fb_strata"))
     )
     main = rank_top_n(
         pre.join(

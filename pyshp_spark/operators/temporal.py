@@ -301,12 +301,24 @@ def interval_join(
         iv = iv.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
         )
-        # salt on ALL event columns, not just the timestamp: a burst of
-        # same-timestamp events must still spread across reducers
+        # salt on the timestamp PLUS every hashable (atomic-typed)
+        # event column: a burst of same-timestamp events must still
+        # spread across reducers, but xxhash64 rejects MAP (and some
+        # nested) types, so hashing every column blindly would fail
+        # analysis on frames where salt_k=None works
+        from pyspark.sql.types import AtomicType  # noqa: PLC0415
+
+        hashable = [
+            f.name
+            for f in points.schema.fields
+            if isinstance(f.dataType, AtomicType)
+        ]
         pt = pt.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in points.columns]),
+                F.xxhash64(
+                    F.col("__pt_us"), *[F.col(c) for c in hashable]
+                ),
                 F.lit(salt_k),
             ).cast("int"),
         )

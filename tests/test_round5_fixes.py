@@ -803,3 +803,99 @@ class TestStratifiedPrefilter:
         )
         out = self._parity(spark, pdf, n=2, oversample=2)
         assert (out.groupby("lang").size() == 2).all()
+
+
+class TestReviewRegressions:
+    def test_zero_survivor_stratum_falls_back(self, spark):
+        """A stratum whose keys ALL hash above the prefilter threshold
+        must still deliver its n rows via the fallback path (it never
+        appears in pre's groups, so the shortfall check must start
+        from the counts frame)."""
+        from pyshp_spark.operators.sample import (  # noqa: PLC0415
+            stratified_sample_n,
+        )
+
+        unlucky = [1, 13, 14, 26, 27, 39, 40, 52, 65]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": unlucky + list(range(1000, 1400)),
+                "lang": ["bad"] * len(unlucky) + ["big"] * 400,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        a = (
+            stratified_sample_n(
+                df, "lang", 2, "doc_id", hash="knuth", prefilter=False
+            )
+            .toPandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            stratified_sample_n(
+                df, "lang", 2, "doc_id", hash="knuth", prefilter=True,
+                oversample=4,
+            )
+            .toPandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert (b.groupby("lang").size() == 2).all()
+
+    def test_json_extract_trailing_newline_parity(self, spark, tmp_path):
+        """'7\\n' must be NULL on BOTH engines (Java $ matches before a
+        final newline; \\z does not)."""
+        import duckdb  # noqa: PLC0415
+        import json  # noqa: PLC0415
+
+        import __spark_entry__ as entry  # noqa: PLC0415
+
+        pdf = pd.DataFrame(
+            {
+                "event_id": [0, 1],
+                "props": [json.dumps({"k": "7\n"}), json.dumps({"k": "7"})],
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+        got = (
+            entry.q_json_extract(spark, str(sf))
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", pdf)
+        want = (
+            con.execute(entry.oracle_sql()["json_extract"])
+            .df()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert pd.isna(got.k[0]) and pd.isna(want.k[0])
+        assert got.k[1] == 7 and want.k[1] == 7
+
+    def test_interval_salt_tolerates_map_columns(self, spark):
+        """salt_k must not fail analysis when the events frame carries
+        an unhashable (MAP) column."""
+        from pyshp_spark.operators.temporal import interval_join  # noqa: PLC0415
+
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2],
+                    "ts": pd.to_datetime([100, 700], unit="s"),
+                    "attrs": [{"a": "1"}, {"b": "2"}],
+                }
+            )
+        )
+        iv = spark.createDataFrame(
+            pd.DataFrame(
+                {"iv_id": [1], "start_us": [0], "end_us": [600 * 1_000_000]}
+            )
+        )
+        out = interval_join(ev, iv, salt_k=4).select("event_id", "iv_id")
+        rows = sorted(r.event_id for r in out.collect())
+        assert rows == [1]
