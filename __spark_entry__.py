@@ -390,6 +390,29 @@ def q_tile_pyramid(spark, sf_dir):
     return tile_pyramid(t, tx="tile_x", ty="tile_y", zoom_max=6, zoom_min=0)
 
 
+def q_zonal_stats(spark, sf_dir):
+    # raster→vector zonal statistics: per-polygon aggregates of
+    # point-carried values straight off the PIP join (join output
+    # pipelines into map-side partial aggs, never materialized).
+    # The value column is INTEGER (l_quantity is integral) so sum/min/
+    # max are exact on both engines; avg is intentionally left out of
+    # the gate projection (float accumulation order differs between
+    # engines)
+    from pyshp_spark.operators.spatial import zonal_stats  # noqa: PLC0415
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pts = li.select(
+        (((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)).alias("x"),
+        (((F.col("l_suppkey") * 13) % 1000).cast("double") + F.lit(0.1)).alias("y"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    out = zonal_stats(
+        pts, dia, value_cols=["qty"], grid=ENTRY_GRID, polygon_cols=["oid"]
+    )
+    return out.select("oid", "n_points", "qty_sum", "qty_min", "qty_max")
+
+
 def q_count_extent(spark, sf_dir):
     return _diamonds(spark, sf_dir).agg(
         F.count("*").alias("n_features"),
@@ -914,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
+        "zonal_stats": q_zonal_stats,
         "count_extent": q_count_extent,
         "union_merge": q_union_merge,
         "project_slice": q_project_slice,
@@ -1186,6 +1210,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "time_rollup": rollup_counts_oracle_sql(),
         "tile_pyramid": tile_pyramid_oracle_sql(),
+        "zonal_stats": f"""
+            WITH pts AS (
+                SELECT CAST((l_partkey * 7) % 1000 AS DOUBLE) + 0.25 AS x,
+                       CAST((l_suppkey * 13) % 1000 AS DOUBLE) + 0.1 AS y,
+                       CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem
+            ), d AS ({_DIAMONDS_SQL})
+            SELECT d.oid, CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(p.qty) AS BIGINT) AS qty_sum,
+                   CAST(min(p.qty) AS BIGINT) AS qty_min,
+                   CAST(max(p.qty) AS BIGINT) AS qty_max
+            FROM pts p, d
+            WHERE p.x BETWEEN d.xmin AND d.xmax
+              AND p.y BETWEEN d.ymin AND d.ymax
+              AND abs(p.x - d.cx) + abs(p.y - d.cy) < d.r
+            GROUP BY d.oid
+        """,
         "kmv_distinct": kmv_distinct_oracle_sql(),
         "simhash_sig": simhash_sql("documents"),
         "fingerprint": """

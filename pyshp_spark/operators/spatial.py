@@ -950,3 +950,51 @@ def tile_pyramid_sql(
             FROM {table} GROUP BY 1, 2, 3{kg}
         """)
     return " UNION ALL ".join(parts)
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_cols: list[str],
+    x: str = "x",
+    y: str = "y",
+    grid: Grid = GRID,
+    polygon_cols: list[str] | None = None,
+    **join_kwargs,
+) -> DataFrame:
+    """Zonal statistics: per-polygon aggregates of point-carried values
+    (count, sum, min, max, avg per value column) — the raster→vector
+    reduction of a tile-georeferenced image corpus (e.g. mean decoded
+    brightness or caption length per admin polygon).
+
+    Plan shape = the PIP join's (broadcast-index / salted sort-merge,
+    chosen by the same auto logic) followed by ONE hash aggregation on
+    the polygon key with map-side partial aggs — the join output never
+    materializes anywhere, Catalyst pipelines refine straight into the
+    partial agg.  Output: (*polygon_cols, n_points, <c>_sum, <c>_min,
+    <c>_max, <c>_avg per value column).
+    """
+    gcols = polygon_cols or [
+        c
+        for c in polygons.columns
+        if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+    ]
+    joined = point_in_polygon_join(
+        points,
+        polygons,
+        x=x,
+        y=y,
+        grid=grid,
+        point_cols=[x, y, *value_cols],
+        polygon_cols=gcols,
+        **join_kwargs,
+    )
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for c in value_cols:
+        aggs += [
+            F.sum(c).alias(f"{c}_sum"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.avg(c).alias(f"{c}_avg"),
+        ]
+    return joined.groupBy(*gcols).agg(*aggs)

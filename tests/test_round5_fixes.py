@@ -899,3 +899,51 @@ class TestReviewRegressions:
         out = interval_join(ev, iv, salt_k=4).select("event_id", "iv_id")
         rows = sorted(r.event_id for r in out.collect())
         assert rows == [1]
+
+
+class TestZonalStats:
+    def test_matches_manual_aggregation(self, spark):
+        from pyshp_spark.fixtures.images import images_fixture  # noqa: PLC0415
+        from pyshp_spark.fixtures.polygons import (  # noqa: PLC0415
+            fixture_shapefile_bytes,
+        )
+        from pyshp_spark.operators.spatial import (  # noqa: PLC0415
+            point_in_polygon_join,
+            zonal_stats,
+        )
+        from pyshp_spark.sources.shapefile import parse_shp_bytes  # noqa: PLC0415
+
+        shp, _, _ = fixture_shapefile_bytes(n=15, seed=21)
+        polys = spark.createDataFrame(
+            parse_shp_bytes(shp)[["oid", "wkb", "xmin", "ymin", "xmax", "ymax"]]
+        )
+        pts_pdf = images_fixture(n=300, seed=3)[["image_id", "lon", "lat"]]
+        pts_pdf["val"] = (pts_pdf.index.to_numpy() % 97).astype("int64")
+        pts = spark.createDataFrame(pts_pdf)
+        zs = (
+            zonal_stats(
+                pts, polys, value_cols=["val"], x="lon", y="lat",
+                polygon_cols=["oid"],
+            )
+            .toPandas()
+            .sort_values("oid")
+            .reset_index(drop=True)
+        )
+        joined = point_in_polygon_join(
+            pts, polys, x="lon", y="lat", polygon_cols=["oid"]
+        ).toPandas()
+        want = (
+            joined.groupby("oid")
+            .val.agg(["size", "sum", "min", "max", "mean"])
+            .reset_index()
+            .sort_values("oid")
+            .reset_index(drop=True)
+        )
+        assert (zs.oid.to_numpy() == want.oid.to_numpy()).all()
+        assert (zs.n_points.to_numpy() == want["size"].to_numpy()).all()
+        assert (zs.val_sum.to_numpy() == want["sum"].to_numpy()).all()
+        assert (zs.val_min.to_numpy() == want["min"].to_numpy()).all()
+        assert (zs.val_max.to_numpy() == want["max"].to_numpy()).all()
+        assert zs.val_avg.to_numpy() == pytest.approx(
+            want["mean"].to_numpy()
+        )
