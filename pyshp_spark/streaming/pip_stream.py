@@ -230,3 +230,53 @@ def streaming_interval_join(
         stream, F.broadcast(intervals), ts=ts, start=start, end=end,
         bucket_s=bucket_s,
     )
+
+
+def streaming_tile_pyramid(
+    stream: DataFrame,
+    tx: str = "tile_x",
+    ty: str = "tile_y",
+    ts: str = "ts",
+    zoom_max: int = 6,
+    zoom_min: int = 0,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/spatial.tile_pyramid: watermarked
+    per-event-time-window tile counts at EVERY zoom level — the live
+    ingest density map of a tile-georeferenced image stream.
+
+    Each event explodes to its (zoom_max - zoom_min + 1) quadtree
+    ancestors BEFORE the windowed aggregation, so one state-store
+    aggregation maintains all zoom levels at once (state rows are
+    bounded by the watermark x distinct-parent-tile count; the ancestor
+    fan-out is a constant ~7 for a 6-level pyramid and map-side
+    partial aggs absorb it before the shuffle).  Late rows beyond the
+    watermark drop consistently across all levels — a parent can never
+    disagree with its children."""
+    if zoom_min > zoom_max:
+        raise ValueError("zoom_min must be <= zoom_max")
+    levels = [
+        F.struct(
+            F.lit(z).cast("int").alias("zoom"),
+            F.expr(f"CAST({tx} AS BIGINT) div {2 ** (zoom_max - z)}").alias("tx"),
+            F.expr(f"CAST({ty} AS BIGINT) div {2 ** (zoom_max - z)}").alias("ty"),
+        )
+        for z in range(zoom_max, zoom_min - 1, -1)
+    ]
+    return (
+        stream.withColumn("__lvl", F.explode(F.array(*levels)))
+        .withWatermark(ts, watermark)
+        .groupBy(
+            F.window(F.col(ts), window).alias("win"),
+            F.col("__lvl.zoom").alias("zoom"),
+            F.col("__lvl.tx").alias("tx"),
+            F.col("__lvl.ty").alias("ty"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "zoom", "tx", "ty", "n",
+        )
+    )

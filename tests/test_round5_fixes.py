@@ -947,3 +947,78 @@ class TestZonalStats:
         assert zs.val_avg.to_numpy() == pytest.approx(
             want["mean"].to_numpy()
         )
+
+
+class TestStreamingTilePyramid:
+    def test_all_levels_consistent(self, spark, tmp_path):
+        """Streamed per-window pyramid counts must equal the batch
+        tile_pyramid over the same closed-window rows, at every zoom."""
+        import numpy as np  # noqa: PLC0415
+        from pyspark.sql.types import (  # noqa: PLC0415
+            IntegerType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        from pyshp_spark.operators.spatial import tile_pyramid  # noqa: PLC0415
+        from pyshp_spark.streaming.pip_stream import (  # noqa: PLC0415
+            streaming_tile_pyramid,
+        )
+
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame(
+            {
+                "tile_x": rng.integers(0, 64, 500).astype("int32"),
+                "tile_y": rng.integers(0, 64, 500).astype("int32"),
+                "ts": pd.Timestamp("2026-01-01 00:00:30"),
+            }
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        pdf.to_parquet(src / "p.parquet")
+        schema = StructType(
+            [
+                StructField("tile_x", IntegerType()),
+                StructField("tile_y", IntegerType()),
+                StructField("ts", TimestampType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        pyr = streaming_tile_pyramid(stream, zoom_max=6, zoom_min=0)
+        q = (
+            pyr.writeStream.format("memory")
+            .queryName("tilepyr")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            late = pdf.copy()
+            late["ts"] = pd.Timestamp("2026-01-01 00:10:00")
+            late.to_parquet(src / "p2.parquet")
+            q.processAllAvailable()
+            got = (
+                spark.sql(
+                    "SELECT zoom, tx, ty, n FROM tilepyr "
+                    "WHERE win_start = '2026-01-01 00:00:00'"
+                )
+                .toPandas()
+                .sort_values(["zoom", "tx", "ty"])
+                .reset_index(drop=True)
+            )
+        finally:
+            q.stop()
+        want = (
+            tile_pyramid(
+                spark.createDataFrame(pdf[["tile_x", "tile_y"]]),
+                zoom_max=6,
+                zoom_min=0,
+            )
+            .toPandas()
+            .sort_values(["zoom", "tx", "ty"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), want.astype({"n": "int64"})
+        )
