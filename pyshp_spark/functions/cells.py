@@ -130,20 +130,24 @@ def cell_cover_udf(grid: Grid = GRID):
 
 def _spread_bits32(v: Column) -> Column:
     """Interleave zeros between the low 32 bits of v (magic-number spread),
-    all in Column bitwise ops (JVM-side, codegen'd)."""
+    all in Column bitwise ops (JVM-side, codegen'd).  NOTE: must use
+    Column.bitwiseOR — Python's `|` on Columns is LOGICAL or, which
+    fails analysis on integer types."""
     v = v.bitwiseAND(F.lit(0xFFFFFFFF))
-    v = (v | F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
-    v = (v | F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
-    v = (v | F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
-    v = (v | F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
-    v = (v | F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
     return v
 
 
 def morton_expr(col: Column, row: Column) -> Column:
     """Z-order code from non-negative (col, row) — locality-preserving
     alternative cell id for range partitioning at scale."""
-    return _spread_bits32(col) | F.shiftleft(_spread_bits32(row), 1)
+    return _spread_bits32(col).bitwiseOR(
+        F.shiftleft(_spread_bits32(row), 1)
+    )
 
 
 def morton_np(col: np.ndarray, row: np.ndarray) -> np.ndarray:
