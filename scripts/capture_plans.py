@@ -129,6 +129,10 @@ def main():
     )
     sections["tile_pyramid (quadtree cascade: coarser zooms re-agg "
              "the finer)"] = fmt(em.q_tile_pyramid(spark, sf_dir))
+    sections["zonal_stats (PIP join pipelines into map-side partial "
+             "aggs, one agg exchange)"] = fmt(
+        em.q_zonal_stats(spark, sf_dir)
+    )
 
     out = []
     for name, plan in sections.items():
