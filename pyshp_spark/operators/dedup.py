@@ -471,18 +471,32 @@ def true_jaccard_udf(width: int = 3):
         union_max = la + lb
         if n == 0 or int(union_max.sum()) == 0:
             return pd.Series(np.zeros(n))
-        # one flat (pair_id, hash) table over every pair's two
-        # sorted-unique arrays; after lexsort, duplicates within a pair
-        # are precisely the intersection members
-        pair_ids = np.repeat(np.arange(n), union_max)
-        vals = np.concatenate(
-            [x for i in range(n) for x in (arrs[ca[i]], arrs[cb[i]])]
-            or [np.empty(0, dtype=np.uint64)]
+        # flat (pair_id, hash) table over every pair's two sorted-unique
+        # arrays; after lexsort, duplicates within a pair are precisely
+        # the intersection members.  Processed in element-budgeted
+        # CHUNKS of pairs: the flat table replicates a hot doc's array
+        # once per pair, so an unchunked batch of 10k pairs sharing one
+        # fat doc would materialize gigabytes — the budget caps scratch
+        # at ~tens of MB regardless of batch shape.
+        inter = np.zeros(n, dtype=np.int64)
+        budget = 1 << 22  # flat elements per chunk (~32 MB with index)
+        bounds = np.searchsorted(
+            np.cumsum(union_max), np.arange(budget, union_max.sum(), budget)
         )
-        order = np.lexsort((vals, pair_ids))
-        pv, vv = pair_ids[order], vals[order]
-        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
-        inter = np.bincount(pv[1:][dup], minlength=n)
+        starts = [0, *[int(b) + 1 for b in bounds], n]
+        for s, e in zip(starts, starts[1:]):
+            if s >= e:
+                continue
+            m = e - s
+            um = union_max[s:e]
+            pair_ids = np.repeat(np.arange(m), um)
+            vals = np.concatenate(
+                [x for i in range(s, e) for x in (arrs[ca[i]], arrs[cb[i]])]
+            )
+            order = np.lexsort((vals, pair_ids))
+            pv, vv = pair_ids[order], vals[order]
+            dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+            inter[s:e] = np.bincount(pv[1:][dup], minlength=m)
         union = union_max - inter
         out = np.divide(
             inter, union, out=np.zeros(n, dtype=np.float64),

@@ -200,12 +200,16 @@ def stratified_sample_n(
     # pre is O(strata x oversample x n) rows; checkpoint it so the
     # main window, the shortfall check, and the anti join share ONE
     # corpus scan instead of re-reading the input per subtree
+    # NULL-hash rows (a NULL key under the knuth flavor) sort FIRST in
+    # the window's ascending order, so the full path always selects
+    # them — the prefilter must pass them too, or `h < thr` (NULL)
+    # silently drops rows the contract says win
     pre = (
         notnull.join(
             F.broadcast(thr),
             notnull[strata] == F.col("__ps_strata"),
         )
-        .where(h < F.col("__thr"))
+        .where((h < F.col("__thr")) | h.isNull())
         .drop("__ps_strata", "__thr")
         .localCheckpoint(eager=True)
     )

@@ -37,6 +37,12 @@ from pyshp_spark.kernels.wkb import wkb_rings
 
 _P = "__ps_"  # internal column prefix
 
+#: reserved polygon frame columns (geometry + bbox); every default
+#: polygon_cols derivation excludes exactly this set — keep the three
+#: join entry points and zonal_stats on ONE list so adding a reserved
+#: column can never silently change an aggregation grain
+POLYGON_META_COLS = ("wkb", "xmin", "ymin", "xmax", "ymax")
+
 
 def _polygons_with_cells(
     polygons: DataFrame, grid: Grid, salt_k: int | None
@@ -176,7 +182,7 @@ def point_in_polygon_join(
     """
     pcols = point_cols or [c for c in points.columns]
     gcols = polygon_cols or [
-        c for c in polygons.columns if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+        c for c in polygons.columns if c not in POLYGON_META_COLS
     ]
     if not salt_k:
         if _resolve_broadcast(
@@ -190,7 +196,7 @@ def point_in_polygon_join(
         broadcast_polygons = _resolve_broadcast(
             polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
         )
-    build_src = polygons.select("wkb", "xmin", "ymin", "xmax", "ymax", *gcols)
+    build_src = polygons.select(*POLYGON_META_COLS, *gcols)
     probe = _points_with_cell(points.select(*pcols), x, y, grid, salt_k)
     join_keys = [_P + "cell"] + ([_P + "salt"] if salt_k else [])
     if broadcast_polygons:
@@ -296,13 +302,13 @@ class BroadcastPolygonIndex:
         self.grid = grid
         self.gcols = polygon_cols if polygon_cols is not None else [
             c for c in polygons.columns
-            if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+            if c not in POLYGON_META_COLS
         ]
         self._gfields = {f.name: f for f in polygons.schema.fields}
         spark = polygons.sparkSession
         self.spark = spark
         pol_pdf = polygons.select(
-            "wkb", "xmin", "ymin", "xmax", "ymax", *self.gcols
+            *POLYGON_META_COLS, *self.gcols
         ).toPandas()
         self.pol_pdf = pol_pdf
         edges = [
@@ -602,7 +608,7 @@ def tile_assignment(
         )
         gcols = polygon_cols or [
             c for c in polygons.columns
-            if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+            if c not in POLYGON_META_COLS
         ]
         build = _polygons_with_cells(
             polygons.select("xmin", "ymin", "xmax", "ymax", *gcols), grid, None
@@ -977,7 +983,7 @@ def zonal_stats(
     gcols = polygon_cols or [
         c
         for c in polygons.columns
-        if c not in ("wkb", "xmin", "ymin", "xmax", "ymax")
+        if c not in POLYGON_META_COLS
     ]
     joined = point_in_polygon_join(
         points,

@@ -301,17 +301,29 @@ def interval_join(
         iv = iv.withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
         )
-        # salt on the timestamp PLUS every hashable (atomic-typed)
-        # event column: a burst of same-timestamp events must still
-        # spread across reducers, but xxhash64 rejects MAP (and some
-        # nested) types, so hashing every column blindly would fail
-        # analysis on frames where salt_k=None works
-        from pyspark.sql.types import AtomicType  # noqa: PLC0415
+        # salt on the timestamp PLUS every hashable event column: a
+        # burst of same-timestamp events must still spread across
+        # reducers.  xxhash64 accepts atomic, array, and struct types
+        # but rejects MAP anywhere in the type tree — excluding only
+        # (nested) maps keeps arrays/structs contributing salt entropy
+        # while not failing analysis on frames where salt_k=None works
+        from pyspark.sql.types import (  # noqa: PLC0415
+            ArrayType,
+            MapType,
+            StructType,
+        )
+
+        def _hashable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
 
         hashable = [
-            f.name
-            for f in points.schema.fields
-            if isinstance(f.dataType, AtomicType)
+            f.name for f in points.schema.fields if _hashable(f.dataType)
         ]
         pt = pt.withColumn(
             "__salt",

@@ -256,16 +256,22 @@ def streaming_tile_pyramid(
     disagree with its children."""
     if zoom_min > zoom_max:
         raise ValueError("zoom_min must be <= zoom_max")
+    # user column names resolve via F.col (never interpolated into SQL
+    # text — a hyphenated or reserved-word column must work like it
+    # does in the batch twin); only the internal aliases ride F.expr
+    base = stream.withColumn("__tx0", F.col(tx).cast("long")).withColumn(
+        "__ty0", F.col(ty).cast("long")
+    )
     levels = [
         F.struct(
             F.lit(z).cast("int").alias("zoom"),
-            F.expr(f"CAST({tx} AS BIGINT) div {2 ** (zoom_max - z)}").alias("tx"),
-            F.expr(f"CAST({ty} AS BIGINT) div {2 ** (zoom_max - z)}").alias("ty"),
+            F.expr(f"__tx0 div {2 ** (zoom_max - z)}").alias("tx"),
+            F.expr(f"__ty0 div {2 ** (zoom_max - z)}").alias("ty"),
         )
         for z in range(zoom_max, zoom_min - 1, -1)
     ]
     return (
-        stream.withColumn("__lvl", F.explode(F.array(*levels)))
+        base.withColumn("__lvl", F.explode(F.array(*levels)))
         .withWatermark(ts, watermark)
         .groupBy(
             F.window(F.col(ts), window).alias("win"),

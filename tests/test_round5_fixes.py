@@ -1120,3 +1120,110 @@ class TestMortonExprParity:
         )
         want = morton_np(pdf.c.to_numpy(), pdf.r.to_numpy())
         assert (got == want).all()
+
+
+class TestReviewRegressions2:
+    def test_prefilter_null_keys_parity(self, spark):
+        """NULL keys hash to NULL under knuth; they sort FIRST in the
+        window, so the prefilter path must pass them through rather
+        than dropping them on a NULL comparison."""
+        from pyshp_spark.operators.sample import (  # noqa: PLC0415
+            stratified_sample_n,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array(
+                    [None, None, None] + list(range(2000)), dtype="Int64"
+                ),
+                "lang": ["en"] * 2003,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        a = (
+            stratified_sample_n(
+                df, "lang", 10, "doc_id", hash="knuth", prefilter=False
+            )
+            .toPandas()
+            .sort_values("doc_id", na_position="first")
+            .reset_index(drop=True)
+        )
+        b = (
+            stratified_sample_n(
+                df, "lang", 10, "doc_id", hash="knuth", prefilter=True
+            )
+            .toPandas()
+            .sort_values("doc_id", na_position="first")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert b.doc_id.isna().sum() == 3  # NULLS FIRST rows kept
+
+    def test_jaccard_chunking_values_stable(self, spark):
+        """Chunked pair processing must give the same jaccard values as
+        unchunked (forced by many pairs sharing a fat doc)."""
+        import numpy as np  # noqa: PLC0415
+
+        from pyshp_spark.operators.dedup import (  # noqa: PLC0415
+            shingles,
+            true_jaccard_udf,
+        )
+
+        rng = np.random.default_rng(13)
+        words = [f"w{i}" for i in range(500)]
+        fat = " ".join(rng.choice(words, size=3000))
+        pairs = pd.DataFrame(
+            {
+                "ta": [fat] * 300,
+                "tb": [
+                    " ".join(rng.choice(words, size=rng.integers(10, 60)))
+                    for _ in range(300)
+                ],
+            }
+        )
+        df = spark.createDataFrame(pairs)
+        out = df.select(
+            true_jaccard_udf(3)("ta", "tb").alias("j")
+        ).toPandas()
+        sa = shingles(fat, 3)
+        for i in range(0, 300, 37):
+            sb = shingles(pairs.tb[i], 3)
+            u = len(sa | sb)
+            expect = len(sa & sb) / u if u else 0.0
+            assert out.j[i] == pytest.approx(expect, abs=1e-9)
+
+    def test_interval_salt_uses_array_columns(self, spark):
+        """Array columns must contribute salt entropy (only maps are
+        excluded): same-timestamp events with distinct array payloads
+        spread across salt slots."""
+        from pyshp_spark.operators.temporal import interval_join  # noqa: PLC0415
+
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "ts": pd.to_datetime([100] * 64, unit="s"),
+                    "tags": [[f"t{i}"] for i in range(64)],
+                }
+            )
+        )
+        iv = spark.createDataFrame(
+            pd.DataFrame(
+                {"iv_id": [1], "start_us": [0], "end_us": [600 * 1_000_000]}
+            )
+        )
+        out = interval_join(ev, iv, salt_k=8)
+        assert out.count() == 64
+        # distinct array payloads at one timestamp -> multiple salts
+        pre = ev.withColumn("__pt_us", F.unix_micros("ts"))
+        from pyspark.sql import functions as SF  # noqa: PLC0415
+
+        n_salts = (
+            pre.select(
+                SF.pmod(
+                    SF.xxhash64("__pt_us", "tags"), SF.lit(8)
+                ).alias("s")
+            )
+            .distinct()
+            .count()
+        )
+        assert n_salts > 1
