@@ -413,6 +413,31 @@ def q_zonal_stats(spark, sf_dir):
     return out.select("oid", "n_points", "qty_sum", "qty_min", "qty_max")
 
 
+def q_poly_contains(spark, sf_dir):
+    # distributed polygon⋈polygon assignment (the reference's
+    # hole→exterior logic, sf.py:977-1102, lifted to a join): each
+    # inner polygon's deterministic ring_sample interior point —
+    # computed from the REAL WKB by the parity kernel — probes the
+    # outer set through the PIP join.  Inner set keeps only r % 3 != 0
+    # so the sample point (exact-integer (3cx+r)/3 arithmetic on both
+    # engines) sits >= 1/3 away from every outer boundary — ray-cast
+    # and the SQL inequality cannot disagree.
+    from pyshp_spark.operators.geometry import with_ring_sample  # noqa: PLC0415
+
+    dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    inner = dia.where(((F.col("oid") % 13) + 3) % 3 != 0)
+    samp = with_ring_sample(
+        inner.select(F.col("oid").alias("inner_oid"), "wkb")
+    ).drop("wkb")
+    out = point_in_polygon_join(
+        samp, dia, x="sx", y="sy", grid=ENTRY_GRID,
+        point_cols=["inner_oid", "sx", "sy"], polygon_cols=["oid"],
+    )
+    return out.where(F.col("inner_oid") != F.col("oid")).select(
+        "inner_oid", F.col("oid").alias("outer_oid")
+    )
+
+
 def q_count_extent(spark, sf_dir):
     return _diamonds(spark, sf_dir).agg(
         F.count("*").alias("n_features"),
@@ -938,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
+        "poly_contains": q_poly_contains,
         "count_extent": q_count_extent,
         "union_merge": q_union_merge,
         "project_slice": q_project_slice,
@@ -1210,6 +1236,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "time_rollup": rollup_counts_oracle_sql(),
         "tile_pyramid": tile_pyramid_oracle_sql(),
+        "poly_contains": f"""
+            -- the ring_sample of the 4-vertex diamond is the centroid
+            -- of its first non-degenerate triplet (top, right, bottom)
+            -- = ((3*cx + r)/3, 3*cy/3) computed as EXACT integer
+            -- sums before one IEEE division — identical doubles on
+            -- both engines (kernels/rings.py ring_sample parity)
+            WITH d AS ({_DIAMONDS_SQL}),
+            i AS (
+                SELECT oid AS inner_oid,
+                       ((cx + (cx + r)) + cx) / 3.0 AS sx,
+                       (((cy + r) + cy) + (cy - r)) / 3.0 AS sy
+                FROM d WHERE ((oid % 13) + 3) % 3 <> 0
+            )
+            SELECT i.inner_oid, d.oid AS outer_oid
+            FROM i JOIN d
+              ON i.sx BETWEEN d.xmin AND d.xmax
+             AND i.sy BETWEEN d.ymin AND d.ymax
+             AND abs(i.sx - d.cx) + abs(i.sy - d.cy) < d.r
+            WHERE i.inner_oid <> d.oid
+        """,
         "zonal_stats": f"""
             WITH pts AS (
                 SELECT CAST((l_partkey * 7) % 1000 AS DOUBLE) + 0.25 AS x,

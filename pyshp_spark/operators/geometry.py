@@ -157,3 +157,58 @@ def shape_at(df: DataFrame, oid: int) -> DataFrame:
     """Random access by oid (reference Reader.shape(i), sf.py:4090-4107)
     — a filter the optimizer turns into a pruned scan."""
     return df.where(F.col("oid") == oid)
+
+
+def with_ring_sample(
+    df: DataFrame,
+    wkb: str = "wkb",
+    sx: str = "sx",
+    sy: str = "sy",
+) -> DataFrame:
+    """Append each polygon's deterministic interior sample point
+    (reference sf.py:921-968 iteration-order parity — the hole→exterior
+    assignment anchor, see kernels/rings.ring_sample), computed from
+    the FIRST ring of the WKB inside Arrow batches with per-batch WKB
+    factorization: a polygon repeated across rows samples once.
+
+    This is the building block that lifts the reference's single-process
+    ring-containment logic into distributed polygon⋈polygon joins: the
+    sample point reduces "polygon A assigned to polygon B" to a plain
+    point-in-polygon probe of this engine's PIP join."""
+    from pyspark.sql.types import DoubleType, StructField, StructType  # noqa: PLC0415
+
+    from pyshp_spark.kernels.rings import is_cw, ring_sample  # noqa: PLC0415
+    from pyshp_spark.kernels.wkb import wkb_rings  # noqa: PLC0415
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(sx, DoubleType()), StructField(sy, DoubleType())]
+    )
+
+    def sample(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        cache: dict[bytes, tuple[float, float]] = {}
+        for pdf in batches:
+            pdf = pdf[pdf[wkb].notna()]
+            if len(pdf) == 0:
+                continue
+            codes, uniques = pd.factorize(pdf[wkb])
+            pts = []
+            for w in uniques:
+                b = bytes(w)
+                p = cache.get(b)
+                if p is None:
+                    # match the ring's own winding: arbitrary WKB may
+                    # carry a CCW first ring, and the kernel's triplet
+                    # orientation gate requires the true orientation
+                    ring = wkb_rings(b)[0]
+                    p = ring_sample(ring, ccw=not is_cw(ring))
+                    cache[b] = p
+                pts.append(p)
+            pdf = pdf.copy()
+            pdf[sx] = [pts[c][0] for c in codes]
+            pdf[sy] = [pts[c][1] for c in codes]
+            yield pdf
+
+    return df.mapInPandas(sample, schema=out_schema)

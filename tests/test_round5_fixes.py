@@ -1227,3 +1227,31 @@ class TestReviewRegressions2:
             .count()
         )
         assert n_salts > 1
+
+
+class TestRingSamplePoints:
+    def test_sample_matches_kernel_per_row(self, spark):
+        """with_ring_sample must equal the scalar kernel on every
+        polygon, including multipart/fixture shapes."""
+        from pyshp_spark.fixtures.polygons import (  # noqa: PLC0415
+            fixture_shapefile_bytes,
+        )
+        from pyshp_spark.kernels.rings import is_cw, ring_sample  # noqa: PLC0415
+        from pyshp_spark.kernels.wkb import wkb_rings  # noqa: PLC0415
+        from pyshp_spark.operators.geometry import (  # noqa: PLC0415
+            with_ring_sample,
+        )
+        from pyshp_spark.sources.shapefile import parse_shp_bytes  # noqa: PLC0415
+
+        shp, _, _ = fixture_shapefile_bytes(n=25, seed=5)
+        pdf = parse_shp_bytes(shp)[["oid", "wkb"]]
+        got = (
+            with_ring_sample(spark.createDataFrame(pdf))
+            .toPandas()
+            .sort_values("oid")
+            .reset_index(drop=True)
+        )
+        for row in got.itertuples():
+            ring = wkb_rings(bytes(row.wkb))[0]
+            ex, ey = ring_sample(ring, ccw=not is_cw(ring))
+            assert row.sx == ex and row.sy == ey, row.oid
