@@ -70,8 +70,11 @@ def workload_map():
         "q15_range_join": em.q_range_join,
         "q16_time_rollup": em.q_time_rollup,
         "q17_kmv_distinct": em.q_kmv_distinct,
-        # round-5: quadtree tile-pyramid rollup (image-tile density map)
+        # round-5: quadtree tile-pyramid rollup (image-tile density map),
+        # zonal statistics, polygon-in-polygon assignment
         "q18_tile_pyramid": em.q_tile_pyramid,
+        "q19_zonal_stats": em.q_zonal_stats,
+        "q20_poly_contains": em.q_poly_contains,
     }
 
 

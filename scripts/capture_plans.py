@@ -133,6 +133,8 @@ def main():
              "aggs, one agg exchange)"] = fmt(
         em.q_zonal_stats(spark, sf_dir)
     )
+    sections["poly_contains (ring_sample points probe the broadcast "
+             "polygon index)"] = fmt(em.q_poly_contains(spark, sf_dir))
 
     out = []
     for name, plan in sections.items():
