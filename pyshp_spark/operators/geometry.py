@@ -169,7 +169,9 @@ def with_ring_sample(
     (reference sf.py:921-968 iteration-order parity — the hole→exterior
     assignment anchor, see kernels/rings.ring_sample), computed from
     the FIRST ring of the WKB inside Arrow batches with per-batch WKB
-    factorization: a polygon repeated across rows samples once.
+    factorization: a polygon repeated across rows samples once.  Rows
+    whose ``wkb`` is NULL are KEPT with NULL sample coords (no silent
+    row drop — callers doing row accounting see every input row).
 
     This is the building block that lifts the reference's single-process
     ring-containment logic into distributed polygon⋈polygon joins: the
@@ -190,9 +192,10 @@ def with_ring_sample(
 
         cache: dict[bytes, tuple[float, float]] = {}
         for pdf in batches:
-            pdf = pdf[pdf[wkb].notna()]
             if len(pdf) == 0:
                 continue
+            # factorize codes NULL wkb as -1: those rows pass through
+            # with NULL sample coords instead of being dropped
             codes, uniques = pd.factorize(pdf[wkb])
             pts = []
             for w in uniques:
@@ -207,8 +210,75 @@ def with_ring_sample(
                     cache[b] = p
                 pts.append(p)
             pdf = pdf.copy()
-            pdf[sx] = [pts[c][0] for c in codes]
-            pdf[sy] = [pts[c][1] for c in codes]
+            pdf[sx] = [pts[c][0] if c >= 0 else None for c in codes]
+            pdf[sy] = [pts[c][1] if c >= 0 else None for c in codes]
             yield pdf
 
     return df.mapInPandas(sample, schema=out_schema)
+
+
+def with_ring_stats(
+    df: DataFrame,
+    wkb: str = "wkb",
+    is_cw_col: str = "is_cw",
+    area2_col: str = "area2",
+    sx: str = "sx",
+    sy: str = "sy",
+) -> DataFrame:
+    """Append per-ring classification stats for the FIRST ring of each
+    WKB: winding (``is_cw`` — reference sf.py:835-840: CW == exterior),
+    ``area2`` = |2x signed area| (the reference's nested-exterior
+    tie-break metric, sf.py:1053-1061) and the deterministic interior
+    sample point (sf.py:921-968).  NULL wkb rows keep NULLs; rings too
+    degenerate to sample (RingSamplingError) keep NULL sample coords
+    but real winding/area.  Per-batch WKB factorization as in
+    :func:`with_ring_sample`."""
+    from pyspark.sql.types import BooleanType  # noqa: PLC0415
+
+    from pyshp_spark.kernels.rings import (  # noqa: PLC0415
+        RingSamplingError,
+        is_cw,
+        ring_sample,
+        signed_area,
+    )
+    from pyshp_spark.kernels.wkb import wkb_rings  # noqa: PLC0415
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(is_cw_col, BooleanType()),
+            StructField(area2_col, DoubleType()),
+            StructField(sx, DoubleType()),
+            StructField(sy, DoubleType()),
+        ]
+    )
+
+    def stats(batches):
+        cache: dict[bytes, tuple] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes, uniques = pd.factorize(pdf[wkb])
+            vals = []
+            for w in uniques:
+                b = bytes(w)
+                v = cache.get(b)
+                if v is None:
+                    ring = wkb_rings(b)[0]
+                    cw = is_cw(ring)
+                    a2 = abs(signed_area(ring, fast=True))
+                    try:
+                        px, py = ring_sample(ring, ccw=not cw)
+                    except RingSamplingError:
+                        px = py = None
+                    v = (cw, a2, px, py)
+                    cache[b] = v
+                vals.append(v)
+            pdf = pdf.copy()
+            pdf[is_cw_col] = [vals[c][0] if c >= 0 else None for c in codes]
+            pdf[area2_col] = [vals[c][1] if c >= 0 else None for c in codes]
+            pdf[sx] = [vals[c][2] if c >= 0 else None for c in codes]
+            pdf[sy] = [vals[c][3] if c >= 0 else None for c in codes]
+            yield pdf
+
+    return df.mapInPandas(stats, schema=out_schema)

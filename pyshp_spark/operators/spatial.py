@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from pyshp_spark.functions.bbox import point_in_bbox_expr
 from pyshp_spark.functions.cells import GRID, Grid, cell_cover_udf
-from pyshp_spark.kernels.rings import pip_pairs, pip_pairs_flat, rings_to_edges, stack_edges
+from pyshp_spark.kernels.rings import pip_pairs, pip_pairs_flat, rings_to_edges
 from pyshp_spark.kernels.wkb import wkb_rings
 
 _P = "__ps_"  # internal column prefix
@@ -75,14 +75,23 @@ def _points_with_cell(
     return out
 
 
-def _refine_pip(df: DataFrame, x: str, y: str, keep_wkb: bool = False) -> DataFrame:
+def _refine_pip(
+    df: DataFrame, x: str, y: str, keep_wkb: bool = False,
+    drop_cols: set[str] | frozenset[str] = frozenset(),
+) -> DataFrame:
     """Arrow-batched even-odd ray-cast refine on candidate pairs.
 
     Expects columns ``wkb`` (polygon) and point coords; parses each
     distinct WKB once per batch and tests all its candidate points in
-    one vectorized call.
+    one vectorized call.  ``drop_cols`` are refine INPUTS excluded from
+    the output (e.g. probe coords a downstream aggregation never reads
+    — not shipping them back through Arrow trims the channel, which is
+    the scaling bottleneck).
     """
-    out_fields = [f for f in df.schema.fields if keep_wkb or f.name != "wkb"]
+    out_fields = [
+        f for f in df.schema.fields
+        if (keep_wkb or f.name != "wkb") and f.name not in drop_cols
+    ]
     from pyspark.sql.types import StructType  # noqa: PLC0415
 
     out_schema = StructType(out_fields)
@@ -163,6 +172,7 @@ def point_in_polygon_join(
     polygon_cols: list[str] | None = None,
     max_broadcast_rows: int = 4_000_000,
     max_broadcast_bytes: int = 1_500_000_000,
+    point_out_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inner join: each point row paired with every polygon containing it.
 
@@ -178,17 +188,25 @@ def point_in_polygon_join(
     ``broadcast_polygons="auto"`` (default) probes the build-side size
     and picks broadcast vs sort-merge automatically; pass True/False to
     force, and optionally ``salt_k`` to pre-split hot cells on the
-    shuffle path.
+    shuffle path.  ``point_out_cols`` (subset of the point columns)
+    restricts which point columns reach the OUTPUT — coords consumed
+    only by the refine never travel back through Arrow.
     """
     pcols = point_cols or [c for c in points.columns]
     gcols = polygon_cols or [
         c for c in polygons.columns if c not in POLYGON_META_COLS
     ]
+    ocols = pcols if point_out_cols is None else point_out_cols
+    bad = set(ocols) - set(pcols)
+    if bad:
+        raise ValueError(f"point_out_cols not in point_cols: {sorted(bad)}")
     if not salt_k:
         if _resolve_broadcast(
             polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
         ):
-            return _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols)
+            return _pip_join_broadcast(
+                points, polygons, x, y, grid, pcols, gcols, ocols
+            )
         broadcast_polygons = False  # probe said too big: sort-merge path
     else:
         # salted path: the probe only decides the broadcast HINT on the
@@ -207,30 +225,43 @@ def point_in_polygon_join(
                 F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
             )
         ).select(*pcols, *gcols, "wkb")
-        return _refine_pip(cand, x, y)
+        return _refine_pip(cand, x, y, drop_cols=set(pcols) - set(ocols))
 
     # shuffle path: the exploded build side replicates each polygon row
     # x cover-cells x salt_k through the exchange — so ship only
     # (pid, bbox, attrs), never the WKB.  The geometry re-attaches to
     # the (much smaller) bbox-prefiltered candidate set with a plain
-    # equi-join on the dense pid: unique key, so no skew, and AQE
-    # broadcasts the dimension side when it fits.  The pid comes from
-    # monotonically_increasing_id over an eagerly localCheckpoint-ed
-    # frame, so both uses read the SAME materialized ids.
-    keyed = build_src.withColumn(
-        _P + "pid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    # equi-join on the pid: unique key, so no skew, and AQE broadcasts
+    # the dimension side when it fits.  The pid is a DETERMINISTIC
+    # function of row content — (xxhash64, murmur3) over (wkb, attrs,
+    # duplicate-rank), 96 collision bits — so an executor lost mid-query
+    # recomputes identical ids through plain lineage: no localCheckpoint
+    # (whose blocks are unrecoverable on a real cluster) and no eager
+    # job at plan-construction time.  The duplicate-rank window keeps
+    # fully-identical polygon rows distinct (join multiplicity); its
+    # sort is over identical rows, so any tie order yields the same
+    # result.  persist() shares the one window shuffle between the two
+    # uses while staying lineage-recoverable.
+    dup_w = Window.partitionBy("wkb", *gcols).orderBy(F.lit(1))
+    keyed = (
+        build_src.withColumn(_P + "dup", F.row_number().over(dup_w))
+        .withColumn(_P + "pid", F.xxhash64("wkb", *gcols, _P + "dup"))
+        .withColumn(_P + "pid2", F.hash("wkb", *gcols, _P + "dup"))
+        .drop(_P + "dup")
+        .persist()
+    )
+    pid_keys = [_P + "pid", _P + "pid2"]
     build = _polygons_with_cells(keyed.drop("wkb"), grid, salt_k)
     cand = probe.join(build, on=join_keys, how="inner").where(
         point_in_bbox_expr(
             F.col(x), F.col(y),
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         )
-    ).select(*pcols, *gcols, _P + "pid")
+    ).select(*pcols, *gcols, *pid_keys)
     cand = cand.join(
-        keyed.select(_P + "pid", "wkb"), on=_P + "pid", how="inner"
+        keyed.select(*pid_keys, "wkb"), on=pid_keys, how="inner"
     ).select(*pcols, *gcols, "wkb")
-    return _refine_pip(cand, x, y)
+    return _refine_pip(cand, x, y, drop_cols=set(pcols) - set(ocols))
 
 
 _INDEX_CACHE: dict = {}
@@ -281,14 +312,73 @@ def _cached_polygon_index(polygons: DataFrame, grid: Grid,
     return idx
 
 
+def _parse_polygons_distributed(
+    polygons: DataFrame, grid: Grid, gcols: list[str]
+) -> pd.DataFrame:
+    """Executor-side WKB -> flat-buffer parse for the broadcast index
+    build: each polygon row comes back as (bbox, attrs, edge-bytes,
+    cover-bytes) so the driver never runs per-row Python over geometry.
+
+    Edge bytes are C-order float64 (E, 4) rows; cover bytes int64 cell
+    ids.  Duplicate WKB values are factorized per Arrow batch and parsed
+    once.  Null WKB / NaN bbox rows (NULL shapes from ingest) yield
+    empty buffers — they can contain no point."""
+    from pyspark.sql.types import BinaryType, StructField, StructType  # noqa: PLC0415
+
+    keep = [f for f in polygons.schema.fields if f.name != "wkb"]
+    out_schema = StructType(
+        keep
+        + [
+            StructField(_P + "edges", BinaryType()),
+            StructField(_P + "cover", BinaryType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    empty = b""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep_names].copy()
+            if len(pdf) == 0:
+                out[_P + "edges"] = pd.Series([], dtype=object)
+                out[_P + "cover"] = pd.Series([], dtype=object)
+                yield out
+                continue
+            codes, uniques = pd.factorize(pdf["wkb"])
+            uniq_blobs = [
+                rings_to_edges(wkb_rings(bytes(w))).tobytes() for w in uniques
+            ]
+            out[_P + "edges"] = [
+                uniq_blobs[c] if c >= 0 else empty for c in codes
+            ]
+            bb = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(
+                dtype=np.float64
+            )
+            bad = np.isnan(bb).any(axis=1)
+            out[_P + "cover"] = [
+                empty
+                if bad[i]
+                else grid.bbox_cover_np(*bb[i]).astype(np.int64).tobytes()
+                for i in range(len(pdf))
+            ]
+            yield out
+
+    return polygons.mapInPandas(parse, schema=out_schema).toPandas()
+
+
 class BroadcastPolygonIndex:
     """Build-once broadcast spatial index over a dimension-sized polygon
     set; probe many times with point DataFrames.
 
-    The polygon side is collected once on the driver (the premise of a
-    broadcast join), parsed into flat edge arrays + a CSR cell ->
-    polygon-id index (a handful of numpy buffers — each Python worker
-    deserializes the broadcast in ~ms), and broadcast once per session.
+    The polygon side is parsed DISTRIBUTED (a ``mapInPandas`` stage
+    turns each WKB into a flat float64 edge buffer and an int64 cell
+    cover on the executors), then only those compact binary buffers are
+    collected — the driver's whole build is ``b"".join`` + one
+    ``np.frombuffer`` per index array, memcpy-speed regardless of
+    polygon complexity.  The result is the same flat edge arrays + CSR
+    cell -> polygon-id index (a handful of numpy buffers — each Python
+    worker deserializes the broadcast in ~ms), broadcast once per
+    session.
     Every probe is a single ``mapInPandas`` over the points doing index
     lookup, bbox prune and ray-cast refine inside the worker, emitting
     ONLY an array of matching polygon ids per point — candidate pairs
@@ -307,34 +397,32 @@ class BroadcastPolygonIndex:
         self._gfields = {f.name: f for f in polygons.schema.fields}
         spark = polygons.sparkSession
         self.spark = spark
-        pol_pdf = polygons.select(
-            *POLYGON_META_COLS, *self.gcols
-        ).toPandas()
-        self.pol_pdf = pol_pdf
-        edges = [
-            rings_to_edges(wkb_rings(bytes(w))) if w is not None else
-            np.empty((0, 4), dtype=np.float64)
-            for w in pol_pdf["wkb"]
-        ]
-        all_edges, edge_offsets = stack_edges(edges)
+        pol_pdf = _parse_polygons_distributed(
+            polygons.select(*POLYGON_META_COLS, *self.gcols), grid, self.gcols
+        )
+        n = len(pol_pdf)
+        # the executors already parsed WKB -> (E,4) float64 edge rows and
+        # int64 cell covers; reassembly here is bytes-join + frombuffer
+        # (pure memcpy — no per-polygon Python work on the driver)
+        edge_blobs = pol_pdf[_P + "edges"].tolist()
+        edge_counts = np.fromiter(
+            (len(b) // 32 for b in edge_blobs), dtype=np.int64, count=n
+        )
+        all_edges = np.frombuffer(
+            b"".join(edge_blobs), dtype=np.float64
+        ).reshape(-1, 4)
+        edge_offsets = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(edge_counts)]
+        )
         bbox_arr = pol_pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(
             dtype=np.float64
         )
-        # null/NaN bboxes (NULL shapes from ingest) get an empty cover —
-        # they can contain no point, and bbox_cover_np would raise on NaN
-        covers = [
-            np.empty(0, dtype=np.int64)
-            if np.isnan(bbox_arr[pid]).any()
-            else grid.bbox_cover_np(*bbox_arr[pid])
-            for pid in range(len(pol_pdf))
-        ]
-        cover_pid = np.repeat(
-            np.arange(len(pol_pdf), dtype=np.int64),
-            [len(c) for c in covers],
+        cover_blobs = pol_pdf[_P + "cover"].tolist()
+        cover_counts = np.fromiter(
+            (len(b) // 8 for b in cover_blobs), dtype=np.int64, count=n
         )
-        cover_cell = (
-            np.concatenate(covers) if covers else np.empty(0, dtype=np.int64)
-        )
+        cover_cell = np.frombuffer(b"".join(cover_blobs), dtype=np.int64)
+        cover_pid = np.repeat(np.arange(n, dtype=np.int64), cover_counts)
         order = np.argsort(cover_cell, kind="stable")
         sorted_cells = cover_cell[order]
         sorted_pids = cover_pid[order]
@@ -344,6 +432,8 @@ class BroadcastPolygonIndex:
             (all_edges, edge_offsets, bbox_arr, uniq_cells, cell_offsets,
              sorted_pids)
         )
+        # the blobs fed the index build; gtable only needs the attrs
+        self.pol_pdf = pol_pdf.drop(columns=[_P + "edges", _P + "cover"])
         self._gtable = None
 
     def gtable(self):
@@ -361,25 +451,30 @@ class BroadcastPolygonIndex:
 
     def join_points(self, points: DataFrame, x: str = "x", y: str = "y",
                     point_cols: list[str] | None = None,
-                    mode: str = "inner") -> DataFrame:
+                    mode: str = "inner",
+                    point_out_cols: list[str] | None = None) -> DataFrame:
         """mode="inner": one output row per (point, containing polygon)
         pair, polygon attrs attached.  mode="semi"/"anti": the point
         rows inside at least one / outside every polygon — answered in
         the SAME single refine pass (the per-point match count is
         already computed), so neither costs a second scan or any
-        shuffle."""
+        shuffle.  ``point_out_cols`` restricts which point columns the
+        refine ships back out through Arrow (coords an aggregation
+        never reads stay worker-side)."""
         from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType  # noqa: PLC0415
 
         if mode not in ("inner", "semi", "anti"):
             raise ValueError(f"unknown join mode {mode!r}")
         pcols = point_cols or list(points.columns)
+        ocols = pcols if point_out_cols is None else point_out_cols
         grid = self.grid
         bc = self.bc
         # the cell id is recomputed from (x, y) INSIDE the worker — it is
         # pure float math, and not shipping it saves an int64 Arrow
         # column on the fact side (the channel is the scaling bottleneck)
         probe = points.select(*pcols)
-        point_fields = list(probe.schema.fields)
+        by_name = {f.name: f for f in probe.schema.fields}
+        point_fields = [by_name[c] for c in ocols]
         if mode == "inner":
             out_schema = StructType(
                 point_fields
@@ -482,10 +577,10 @@ class BroadcastPolygonIndex:
         )
 
 
-def _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols):
+def _pip_join_broadcast(points, polygons, x, y, grid, pcols, gcols, ocols=None):
     return _cached_polygon_index(
         polygons, grid, gcols
-    ).join_points(points, x=x, y=y, point_cols=pcols)
+    ).join_points(points, x=x, y=y, point_cols=pcols, point_out_cols=ocols)
 
 
 def spatial_semi_join(
@@ -752,9 +847,14 @@ def knn_join(
     cell radius 2^r, keeps per-query top-k, and declares a query
     resolved when its k-th candidate distance is <= the guaranteed
     covered distance radius*min(dx,dy) (any nearer target must lie in
-    an already-searched cell).  Unresolved queries escalate; the final
-    round falls back to brute force for the (few) stragglers.  Driver
-    only orchestrates rounds — all data work is joins + windows.
+    an already-searched cell).  Unresolved queries escalate through
+    ``max_rounds`` rings plus ONE extra widened ring; any stragglers
+    still left (empty regions / degenerate grids) fall back to a
+    broadcast brute scan — but only when the target side passes the
+    broadcast size guard.  Past the guard the old behavior was an
+    unbounded distributed cartesian; now it raises loudly instead
+    (raise ``max_rounds`` or use a finer grid).  Driver only
+    orchestrates rounds — all data work is joins + windows.
 
     ``brute_threshold`` is opt-in: when set, a target set at or below
     that many rows skips the rounds and runs the broadcast brute path
@@ -779,7 +879,10 @@ def knn_join(
     cached = [tgt]
     remaining = queries
     results = []
-    for r in range(max_rounds):
+    # +1: one extra widened ring before conceding to the fallback —
+    # cheap insurance that keeps sparse-but-not-empty regions off the
+    # brute path entirely
+    for r in range(max_rounds + 1):
         radius = 2**r
         if remaining.isEmpty():
             break
@@ -827,15 +930,25 @@ def knn_join(
         remaining = remaining.join(kth, on=query_id, how="left_anti")
 
     if not remaining.isEmpty():
-        # straggler fallback: queries still unresolved after max_rounds
-        # (empty regions / degenerate grids) scan the whole target set.
-        # Broadcast only when the target side passes the row guard —
-        # hinting a broadcast of an unbounded table would OOM the
-        # driver; past the guard Spark runs a distributed cartesian
-        # (expensive but bounded, and the straggler set is tiny).
-        t = targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
-        if _resolve_broadcast(targets, "auto", 4_000_000):
-            t = F.broadcast(t)
+        # straggler fallback: queries still unresolved after the rounds
+        # scan the whole target set — but ONLY as a broadcast brute
+        # join.  A target side past the broadcast guard would turn this
+        # into an unguarded distributed cartesian (queries x full fact
+        # table); fail loudly with the fix instead of silently running
+        # a cluster-killer.
+        if not _resolve_broadcast(targets, "auto", 4_000_000):
+            for df in cached:
+                df.unpersist()
+            raise RuntimeError(
+                "knn_join: queries remain unresolved after "
+                f"{max_rounds}+1 cell-ring rounds and the target side is "
+                "too large to broadcast for the brute fallback — raise "
+                "max_rounds or use a finer grid so the ring search can "
+                "terminate without a distributed cartesian product"
+            )
+        t = F.broadcast(
+            targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
+        )
         results.append(
             remaining.crossJoin(t).withColumn(
                 "dist2",
@@ -868,8 +981,12 @@ def knn_join(
     out = out.select(*qcols, *renames, "dist2", "knn_rank")
     # the per-round caches fed eager orchestration (isEmpty/left_anti);
     # materialize the (small, <= queries*k-ish) result so they can be
-    # released instead of leaking executor memory across calls
-    out = out.localCheckpoint(eager=True)
+    # released instead of leaking executor memory across calls.
+    # persist + count (NOT localCheckpoint): the blocks stay
+    # lineage-recoverable, so losing an executor after the caches are
+    # released recomputes instead of killing the query.
+    out = out.persist()
+    out.count()
     for df in cached:
         df.unpersist()
     return out
@@ -985,14 +1102,18 @@ def zonal_stats(
         for c in polygons.columns
         if c not in POLYGON_META_COLS
     ]
+    # coords are refine INPUTS only — the aggregation never reads them,
+    # so they are excluded from the refine output (point_out_cols) and
+    # never travel back through the Arrow channel
     joined = point_in_polygon_join(
         points,
         polygons,
         x=x,
         y=y,
         grid=grid,
-        point_cols=[x, y, *value_cols],
+        point_cols=[x, y, *[c for c in value_cols if c not in (x, y)]],
         polygon_cols=gcols,
+        point_out_cols=list(value_cols),
         **join_kwargs,
     )
     aggs = [F.count(F.lit(1)).alias("n_points")]
@@ -1004,3 +1125,136 @@ def zonal_stats(
             F.avg(c).alias(f"{c}_avg"),
         ]
     return joined.groupBy(*gcols).agg(*aggs)
+
+
+def assign_holes_distributed(
+    rings: DataFrame,
+    shape_id: str = "shape_id",
+    ring_idx: str = "ring_idx",
+) -> DataFrame:
+    """Distributed hole→exterior assignment: the reference's
+    ``organize_polygon_rings`` (sf.py:977-1102) lifted from a per-shape
+    Python loop to a DataFrame plan, for pathological shapes whose ring
+    count dwarfs a single task (continent coastlines, dissolved
+    admin layers).
+
+    Input: one row per ring — (shape_id, ring_idx, wkb [single-ring
+    polygon], xmin, ymin, xmax, ymax).  Output: (shape_id, ring_idx,
+    role, parent_idx) with role:
+
+    * ``exterior`` — CW ring (reference sf.py:997-1002); parent = self.
+    * ``hole`` — CCW ring attached to an exterior: single exterior
+      takes every hole (sf.py:1005-1009); multiple exteriors run the
+      reference pipeline as joins — strict bbox-contains prefilter
+      (sf.py:1023-1032), ray-cast refine of the hole's deterministic
+      ``ring_sample`` point for multi-candidate holes (sf.py:1034-1051),
+      smallest-|2A| exterior in ring order for still-ambiguous ones
+      (sf.py:1053-1061).
+    * ``orphan`` — CCW ring no exterior claims (promoted to an
+      exterior downstream, reference sf.py:1063-1093), including every
+      ring of an all-holes shape (sf.py:1096-1102); parent is NULL.
+      A hole too degenerate to sample (RingSamplingError — where the
+      single-process reference would raise) also lands here.
+
+    Scale shape: ring stats are one Arrow pass; the candidate join is
+    per-shape (equi-join on shape_id) exactly mirroring the reference's
+    per-shape quadratic prefilter, so a single monster shape is the
+    skew unit — the refine itself is the vectorized pair kernel.
+    """
+    from pyshp_spark.operators.geometry import with_ring_stats  # noqa: PLC0415
+
+    idx_type = rings.schema[ring_idx].dataType
+    stats = with_ring_stats(rings).persist()
+    exts = stats.where(F.col("is_cw"))
+    holes = stats.where(~F.col("is_cw"))
+
+    out_ext = exts.select(
+        shape_id,
+        ring_idx,
+        F.lit("exterior").alias("role"),
+        F.col(ring_idx).alias("parent_idx"),
+    )
+
+    ext_counts = exts.groupBy(shape_id).agg(
+        F.count(F.lit(1)).alias("__n_ext"),
+        F.min(ring_idx).alias("__lone_ext"),
+    )
+    h = holes.join(ext_counts, on=shape_id, how="left")
+    null_parent = F.lit(None).cast(idx_type)
+
+    # no exteriors at all: every hole promotes (reference sf.py:1096-1102)
+    out_noext = h.where(F.col("__n_ext").isNull()).select(
+        shape_id, ring_idx, F.lit("orphan").alias("role"),
+        null_parent.alias("parent_idx"),
+    )
+    # one exterior: all holes attach unconditionally (sf.py:1005-1009)
+    out_lone = h.where(F.col("__n_ext") == 1).select(
+        shape_id, ring_idx, F.lit("hole").alias("role"),
+        F.col("__lone_ext").cast(idx_type).alias("parent_idx"),
+    )
+
+    hm = h.where(F.col("__n_ext") > 1).select(
+        shape_id,
+        F.col(ring_idx).alias("__h_idx"),
+        F.col("xmin").alias("__hxmin"),
+        F.col("ymin").alias("__hymin"),
+        F.col("xmax").alias("__hxmax"),
+        F.col("ymax").alias("__hymax"),
+        "sx",
+        "sy",
+    )
+    cand = hm.join(
+        exts.select(
+            shape_id,
+            F.col(ring_idx).alias("__e_idx"),
+            "wkb", "xmin", "ymin", "xmax", "ymax", "area2",
+        ),
+        on=shape_id,
+    ).where(
+        # strict bbox-contains, reference sf.py:864-869 semantics
+        (F.col("xmin") < F.col("__hxmin"))
+        & (F.col("__hxmax") < F.col("xmax"))
+        & (F.col("ymin") < F.col("__hymin"))
+        & (F.col("__hymax") < F.col("ymax"))
+    )
+    wcnt = Window.partitionBy(shape_id, "__h_idx")
+    cand = cand.withColumn("__ncand", F.count(F.lit(1)).over(wcnt))
+    keep_cols = [shape_id, "__h_idx", "__e_idx", "area2"]
+    # exactly one bbox candidate: assigned WITHOUT the ray-cast check —
+    # reference parity (the refine loop only runs for >1 candidates)
+    single = cand.where(F.col("__ncand") == 1).select(*keep_cols)
+    multi = cand.where(F.col("__ncand") > 1).select(
+        *keep_cols, "sx", "sy", "wkb"
+    )
+    refined = _refine_pip(multi, "sx", "sy", drop_cols={"sx", "sy"})
+    worder = Window.partitionBy(shape_id, "__h_idx").orderBy(
+        "area2", "__e_idx"
+    )
+    best = (
+        refined.withColumn("__rk", F.row_number().over(worder))
+        .where(F.col("__rk") == 1)
+        .select(*keep_cols)
+    )
+    assigned = single.unionByName(best)
+    out_multi = assigned.select(
+        shape_id,
+        F.col("__h_idx").alias(ring_idx),
+        F.lit("hole").alias("role"),
+        F.col("__e_idx").cast(idx_type).alias("parent_idx"),
+    )
+    out_orphan = (
+        hm.join(
+            assigned.select(shape_id, "__h_idx"),
+            on=[shape_id, "__h_idx"],
+            how="left_anti",
+        )
+        .select(
+            shape_id,
+            F.col("__h_idx").alias(ring_idx),
+            F.lit("orphan").alias("role"),
+            null_parent.alias("parent_idx"),
+        )
+    )
+    return out_ext.unionByName(out_lone).unionByName(out_noext).unionByName(
+        out_multi
+    ).unionByName(out_orphan)

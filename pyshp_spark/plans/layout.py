@@ -107,9 +107,15 @@ def save_zorder_layout(
     from pyshp_spark.functions.cells import GRID, morton_expr
 
     g = grid or GRID
-    out = df.withColumn(
-        morton_col, morton_expr(g.col_expr(F.col(x)), g.row_expr(F.col(y)))
-    )
+    # morton_expr is documented for non-negative inputs: coordinates
+    # left/below the grid origin yield negative col/row that the 32-bit
+    # mask would wrap, scrambling Z-order locality (layout quality, not
+    # data loss).  Clamp to morton's [0, 2^32) domain so out-of-grid
+    # rows cluster at the nearest grid edge instead of wrapping.
+    hi = F.lit((1 << 32) - 1)
+    col = F.greatest(F.lit(0), F.least(g.col_expr(F.col(x)), hi))
+    row = F.greatest(F.lit(0), F.least(g.row_expr(F.col(y)), hi))
+    out = df.withColumn(morton_col, morton_expr(col, row))
     parts = [F.col(morton_col)]
     ranged = (
         out.repartitionByRange(num_files, *parts)

@@ -156,6 +156,38 @@ def _write_state_partition(
     )
 
 
+def _finish_compaction(path: str, tmp_name: str) -> None:
+    """Retire the source ``batch_id=N`` dirs of a COMPLETED staging dir
+    (``.compact_tmp_<cid>`` holding a _SUCCESS marker) and promote it to
+    ``batch_id=<cid - 1>``.  rmtree failures propagate — silently
+    ignoring them could leave the rename destination occupied and a
+    half-retired store behind."""
+    cid = int(tmp_name.rsplit("_", 1)[1])
+    for d in os.listdir(path):
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < cid:
+            shutil.rmtree(os.path.join(path, d))
+    os.rename(os.path.join(path, tmp_name), os.path.join(path, f"batch_id={cid - 1}"))
+
+
+def _recover_compaction(path: str) -> None:
+    """Finish or discard any orphaned compaction staging dir — called
+    UNCONDITIONALLY at every batch start (not just on the compaction
+    cadence), so a crash between staging and promotion can never leave
+    the store invisible: a changed ``compact_every`` (or 0) after the
+    crash would otherwise silently empty the corpus and re-admit
+    duplicates.  Staging dirs with _SUCCESS are promoted; half-written
+    ones (sources intact) are dropped."""
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        if not d.startswith(".compact_tmp_"):
+            continue
+        if os.path.exists(os.path.join(path, d, "_SUCCESS")):
+            _finish_compaction(path, d)
+        else:
+            shutil.rmtree(os.path.join(path, d))
+
+
 def _compact_state(
     spark: SparkSession,
     path: str,
@@ -169,9 +201,11 @@ def _compact_state(
     Crash-safe at every step when the processing of ``batch_id`` is
     retried: batches < current are committed (never retried), the temp
     dir is dot-prefixed (invisible to Spark reads), old directories are
-    retired only once the temp's _SUCCESS marker exists, and the
-    pre-compaction dedup on ``key_cols`` makes a re-run over a
-    partially-retired store produce identical rows."""
+    retired only once the temp's _SUCCESS marker exists (and a crash
+    mid-retirement is finished by :func:`_recover_compaction` at the
+    next batch start, whatever the cadence), and the pre-compaction
+    dedup on ``key_cols`` makes a re-run over a partially-retired store
+    produce identical rows."""
     if not os.path.isdir(path):
         return
     old = [
@@ -179,11 +213,15 @@ def _compact_state(
         for d in os.listdir(path)
         if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
     ]
-    tmp = os.path.join(path, f".compact_tmp_{batch_id}")
+    tmp_name = f".compact_tmp_{batch_id}"
+    tmp = os.path.join(path, tmp_name)
     done = os.path.exists(os.path.join(tmp, "_SUCCESS"))
     if len(old) <= 1 and not done:
         return
     if not done:
+        if os.path.isdir(tmp):
+            # half-write from a crashed attempt; sources are intact
+            shutil.rmtree(tmp)
         df = (
             spark.read.parquet(path)
             .where(F.col("batch_id") < F.lit(batch_id))
@@ -197,9 +235,7 @@ def _compact_state(
             .mode("overwrite")
             .parquet(tmp)
         )
-    for d in old:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    os.rename(tmp, os.path.join(path, f"batch_id={batch_id - 1}"))
+    _finish_compaction(path, tmp_name)
 
 
 def _pruned(corpus: DataFrame, probe: DataFrame, bucket_col) -> DataFrame:
@@ -240,6 +276,10 @@ def neardup_filter_batch(
     ``compact_every`` batches the state directories fold into one
     consolidated partition (set ``compact_every=0`` to disable)."""
     spark = batch_df.sparkSession
+    # unconditional: a crash mid-compaction must be repaired even if the
+    # cadence changed (or compaction was disabled) since
+    _recover_compaction(os.path.join(state_dir, _BANDS_SUB))
+    _recover_compaction(os.path.join(state_dir, _TEXTS_SUB))
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         _compact_state(
             spark, os.path.join(state_dir, _BANDS_SUB), batch_id,
