@@ -154,11 +154,12 @@ FROM part
 """
 
 
-def _diamond_wkb(df: DataFrame) -> DataFrame:
-    """Attach real polygon WKB (4-vertex diamond, CW exterior) so the
-    PIP join exercises the actual ray-cast refine kernel.  Assembly is
-    fully vectorized: one (n, 93)-byte buffer per Arrow batch instead
-    of a per-row pack loop."""
+def _diamond_wkb(df: DataFrame, ccw: bool = False) -> DataFrame:
+    """Attach real polygon WKB (4-vertex diamond; CW exterior by
+    default, ``ccw=True`` for hole rings) so joins exercise the actual
+    ray-cast refine kernel.  Assembly is fully vectorized: one
+    (n, 93)-byte buffer per Arrow batch instead of a per-row pack
+    loop."""
 
     @F.pandas_udf(BinaryType())
     def mk(cx: pd.Series, cy: pd.Series, r: pd.Series) -> pd.Series:
@@ -169,11 +170,13 @@ def _diamond_wkb(df: DataFrame) -> DataFrame:
         c = r.to_numpy(dtype=np.float64)
         n = len(a)
         coords = np.empty((n, 5, 2), dtype="<f8")
-        coords[:, 0, 0] = a; coords[:, 0, 1] = b + c
-        coords[:, 1, 0] = a + c; coords[:, 1, 1] = b
-        coords[:, 2, 0] = a; coords[:, 2, 1] = b - c
-        coords[:, 3, 0] = a - c; coords[:, 3, 1] = b
-        coords[:, 4, 0] = a; coords[:, 4, 1] = b + c
+        # top -> right -> bottom -> left is clockwise; ccw reverses
+        order = (0, 3, 2, 1) if ccw else (0, 1, 2, 3)
+        verts = [(a, b + c), (a + c, b), (a, b - c), (a - c, b)]
+        for slot, vi in enumerate(order):
+            coords[:, slot, 0] = verts[vi][0]
+            coords[:, slot, 1] = verts[vi][1]
+        coords[:, 4, 0] = coords[:, 0, 0]; coords[:, 4, 1] = coords[:, 0, 1]
         # 1-byte LE flag + Polygon(3) + numRings(1) + numPoints(5)
         prefix = np.frombuffer(
             b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00", dtype=np.uint8
@@ -435,6 +438,50 @@ def q_poly_contains(spark, sf_dir):
     )
     return out.where(F.col("inner_oid") != F.col("oid")).select(
         "inner_oid", F.col("oid").alias("outer_oid")
+    )
+
+
+def q_hole_assign(spark, sf_dir):
+    """Distributed hole→exterior assignment (reference
+    organize_polygon_rings, sf.py:977-1102, as a join plan): each part
+    row becomes one 5-ring shape — two nested CW exteriors (min-|2A|
+    tie-break), a both-contained CCW hole (bbox prefilter -> ray-cast
+    refine -> smallest-area winner), a single-bbox-candidate CCW hole
+    (assigned WITHOUT the ray-cast, reference parity), and an
+    out-of-bbox orphan hole (promoted).  Winding is classified from the
+    REAL ring WKB; the oracle re-derives the expected assignment from
+    the generating center/radius arithmetic."""
+    from pyshp_spark.operators.spatial import assign_holes_distributed  # noqa: PLC0415
+
+    d = _diamonds(spark, sf_dir).select("oid", "cx", "cy", "r")
+
+    def ring(idx, cx, cy, r, ccw):
+        rr = d.select(
+            F.col("oid").alias("shape_id"),
+            F.lit(idx).cast("int").alias("ring_idx"),
+            cx.alias("cx"), cy.alias("cy"), r.alias("r"),
+        )
+        rr = _diamond_wkb(rr, ccw=ccw)
+        return rr.select(
+            "shape_id", "ring_idx", "wkb",
+            (F.col("cx") - F.col("r")).alias("xmin"),
+            (F.col("cy") - F.col("r")).alias("ymin"),
+            (F.col("cx") + F.col("r")).alias("xmax"),
+            (F.col("cy") + F.col("r")).alias("ymax"),
+        )
+
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    rings = (
+        ring(0, cx, cy, r, False)
+        .unionByName(ring(1, cx, cy, r - 1, False))
+        .unionByName(ring(2, cx, cy, F.lit(0.5), True))
+        .unionByName(ring(3, cx + r - 0.6, cy, F.lit(0.3), True))
+        .unionByName(ring(4, cx + r + 2.0, cy, F.lit(0.3), True))
+    )
+    out = assign_holes_distributed(rings)
+    return out.select(
+        "shape_id", "ring_idx", "role",
+        F.col("parent_idx").cast("int").alias("parent_idx"),
     )
 
 
@@ -964,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "zonal_stats": q_zonal_stats,
         "poly_contains": q_poly_contains,
+        "hole_assign": q_hole_assign,
         "count_extent": q_count_extent,
         "union_merge": q_union_merge,
         "project_slice": q_project_slice,
@@ -1255,6 +1303,22 @@ def oracle_sql() -> dict[str, str]:
              AND i.sy BETWEEN d.ymin AND d.ymax
              AND abs(i.sx - d.cx) + abs(i.sy - d.cy) < d.r
             WHERE i.inner_oid <> d.oid
+        """,
+        "hole_assign": f"""
+            -- expected assignment re-derived from the generating
+            -- geometry: ring 0/1 = nested CW exteriors (outer r,
+            -- inner r-1); ring 2 = hole inside both bboxes, ray-cast
+            -- passes both, min-|2A| picks the inner (1); ring 3 =
+            -- hole whose bbox is strictly inside ONLY the outer (0);
+            -- ring 4 = hole outside every exterior bbox -> orphan
+            WITH d AS (SELECT p_partkey AS oid FROM part)
+            SELECT oid AS shape_id, CAST(0 AS INTEGER) AS ring_idx,
+                   'exterior' AS role, CAST(0 AS INTEGER) AS parent_idx
+            FROM d
+            UNION ALL SELECT oid, 1, 'exterior', 1 FROM d
+            UNION ALL SELECT oid, 2, 'hole', 1 FROM d
+            UNION ALL SELECT oid, 3, 'hole', 0 FROM d
+            UNION ALL SELECT oid, 4, 'orphan', NULL FROM d
         """,
         "zonal_stats": f"""
             WITH pts AS (

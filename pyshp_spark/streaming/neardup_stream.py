@@ -54,18 +54,20 @@ State-store layout (the 100 TB shape):
   marker before retiring old directories, and dedups on the state key
   so a partially-compacted store re-compacts to the same rows.
 
-Semantics note (first-arrival-wins, documented divergence from batch):
-only SURVIVORS' bands persist.  A later doc that near-duplicates a
-dropped non-keeper member of an earlier batch — but not that cluster's
-keeper (Jaccard is not transitive) — is therefore ACCEPTED, where the
-batch pipeline's connected components over the full corpus would have
-chained it into the cluster and dropped it.  This is the contract: the
-accepted corpus is the ground set, each arrival is judged against
-accepted docs only, and acceptance is final.  It keeps the store
-proportional to the DEDUPED corpus (not the raw stream) and makes
-acceptance independent of rejected history; pipelines that need
-batch-equivalent clustering should run the batch operators over the
-accepted output instead.
+Semantics note (first-arrival-wins + member→keeper mapping): with the
+default ``track_dropped=True``, EVERY batch doc's bands and text
+persist — dropped members carry a ``keeper`` pointer to their accepted
+representative (their intra-batch keeper, or, for clusters that hit
+the corpus, the matched corpus doc's own keeper).  A later doc that
+near-duplicates only a dropped non-keeper member of an earlier batch —
+but not that cluster's keeper (Jaccard is not transitive) — is
+therefore still REJECTED and resolves to the accepted representative,
+matching what the batch pipeline's connected components over the full
+stream would have chained.  The cost is state proportional to the RAW
+stream rather than the deduped corpus; pass ``track_dropped=False``
+to restore the corpus-proportional store and the (then-documented)
+first-arrival-wins divergence: acceptance judged against accepted
+docs only.
 
 The reference has no streaming surface (SURVEY.md §2.10); this is the
 engine's forward-looking ingest-bus shape, mirroring
@@ -264,17 +266,25 @@ def neardup_filter_batch(
     threshold: float = 0.5,
     seed: int = 1,
     compact_every: int = 16,
+    track_dropped: bool = True,
 ) -> DataFrame:
     """One micro-batch of the streaming near-dup filter: returns the
     ACCEPTED rows of ``batch_df`` (all original columns) and writes
-    their banded signatures + texts into ``state_dir``'s per-batch
+    banded signatures + texts into ``state_dir``'s per-batch
     partitions.  Deterministic given (batch content, prior state):
     within the batch the smallest id per near-dup cluster wins, and an
     intra-batch cluster is dropped WHOLE when any of its members
     near-duplicates an already-accepted corpus doc (its canonical
     representative already lives in the corpus).  Every
     ``compact_every`` batches the state directories fold into one
-    consolidated partition (set ``compact_every=0`` to disable)."""
+    consolidated partition (set ``compact_every=0`` to disable).
+
+    ``track_dropped=True`` (default) persists DROPPED docs' bands and
+    texts too, each with a ``keeper`` pointer to its accepted
+    representative — so a later arrival that near-dups only a dropped
+    member is still rejected and maps to the representative (batch-
+    equivalent chaining; see module docstring for the state-size
+    trade-off)."""
     spark = batch_df.sparkSession
     # unconditional: a crash mid-compaction must be repaired even if the
     # cadence changed (or compaction was disabled) since
@@ -330,6 +340,7 @@ def neardup_filter_batch(
             )
         corpus_bands = corpus_texts = None
     keep = keepers.where(~F.col("is_dup"))
+    cluster_rep = None  # keeper_id -> accepted representative, corpus hits
     if corpus_bands is not None and corpus_texts is not None:
         corpus_bands = _pruned(
             corpus_bands, all_bands, _bucket_of(F.col("band"), F.col("band_sig"))
@@ -352,46 +363,79 @@ def neardup_filter_batch(
             corpus_texts, cand, _bucket_of(F.col("__cid"))
         )
         verify = true_jaccard_udf(width)
-        dup_ids = (
+        # a corpus hit resolves to the matched doc's OWN keeper: a
+        # tracked dropped member forwards to its accepted
+        # representative; stores written before keeper tracking (or
+        # with track_dropped=False) hold accepted docs only, each its
+        # own keeper
+        rep_col = (
+            F.col("keeper") if "keeper" in corpus_texts.columns
+            else F.col("id")
+        )
+        dup_hits = (
             cand.join(
                 b.select(F.col(key).alias("__nid"), F.col(text).alias("__ta")),
                 on="__nid",
             )
             .join(
                 corpus_texts.select(
-                    F.col("id").alias("__cid"), F.col("text").alias("__tb")
+                    F.col("id").alias("__cid"), F.col("text").alias("__tb"),
+                    rep_col.alias("__ck"),
                 ),
                 on="__cid",
             )
             .where(F.round(verify("__ta", "__tb"), 6) >= threshold)
-            .select(F.col("__nid").alias(key))
-            .distinct()
+            .select("__nid", "__ck")
         )
-        hit_clusters = (
-            keepers.join(dup_ids, on=key)
-            .select("keeper_id")
-            .distinct()
+        cluster_rep = (
+            keepers.join(dup_hits, on=F.col(key) == F.col("__nid"))
+            .groupBy("keeper_id")
+            .agg(F.min("__ck").alias("__rep"))
         )
-        keep = keep.join(hit_clusters, on="keeper_id", how="left_anti")
+        keep = keep.join(
+            cluster_rep.select("keeper_id"), on="keeper_id", how="left_anti"
+        )
     survivors = b.join(keep.select(key), on=key).localCheckpoint(eager=True)
-    new_bands = all_bands.join(
-        survivors.select(F.col(key).alias("id")), on="id", how="left_semi"
-    )
 
-    # 3. write the accepted docs' state into per-batch partition dirs
-    # (overwrite: a retried batch replaces its own half-written state
-    # instead of appending a duplicate copy)
+    # 3. write state into per-batch partition dirs (overwrite: a
+    # retried batch replaces its own half-written state instead of
+    # appending a duplicate copy).  track_dropped persists EVERY batch
+    # doc's bands + text with a keeper pointer (member→keeper mapping);
+    # otherwise only survivors persist (corpus-proportional store).
+    if track_dropped:
+        mapping = keepers.select(key, "keeper_id")
+        if cluster_rep is not None:
+            mapping = mapping.join(cluster_rep, on="keeper_id", how="left")
+            mapping = mapping.select(
+                key, F.coalesce("__rep", "keeper_id").alias("keeper")
+            )
+        else:
+            mapping = mapping.select(
+                key, F.col("keeper_id").alias("keeper")
+            )
+        band_rows = all_bands
+        text_rows = (
+            b.select(F.col(key).alias("id"), F.col(text).alias("text"))
+            .join(
+                mapping.select(F.col(key).alias("id"), "keeper"), on="id"
+            )
+        )
+    else:
+        band_rows = all_bands.join(
+            survivors.select(F.col(key).alias("id")), on="id", how="left_semi"
+        )
+        text_rows = survivors.select(
+            F.col(key).alias("id"), F.col(text).alias("text")
+        )
     _write_state_partition(
-        new_bands.withColumn(
+        band_rows.withColumn(
             "__bucket", _bucket_of(F.col("band"), F.col("band_sig"))
         ),
         os.path.join(state_dir, _BANDS_SUB, f"batch_id={batch_id}"),
         sort_cols=["band", "band_sig"],
     )
     _write_state_partition(
-        survivors.select(
-            F.col(key).alias("id"), F.col(text).alias("text")
-        ).withColumn("__bucket", _bucket_of(F.col("id"))),
+        text_rows.withColumn("__bucket", _bucket_of(F.col("id"))),
         os.path.join(state_dir, _TEXTS_SUB, f"batch_id={batch_id}"),
         sort_cols=["id"],
     )
@@ -409,6 +453,7 @@ def minhash_neardup_sink(
     threshold: float = 0.5,
     seed: int = 1,
     compact_every: int = 16,
+    track_dropped: bool = True,
 ):
     """foreachBatch function for a streaming query: only the FIRST
     arrival of each near-dup cluster reaches ``out_dir``.
@@ -425,7 +470,7 @@ def minhash_neardup_sink(
             batch_df, state_dir, int(batch_id),
             key=key, text=text, num_perm=num_perm, bands=bands,
             width=width, threshold=threshold, seed=seed,
-            compact_every=compact_every,
+            compact_every=compact_every, track_dropped=track_dropped,
         )
         kept.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={int(batch_id)}")

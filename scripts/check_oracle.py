@@ -3,11 +3,19 @@ __spark_entry__ query and its DuckDB oracle side by side, compare
 row count, schema (column names), and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --rotate N [sf_dir]
+
+--rotate N runs the NEXT deterministic N-query slice of the full gate
+(cursor persisted in scripts/.rotate_state, results appended to
+ROTATION_LOG.jsonl) — so e.g. the sf0.1 10x-scale sweep covers every
+query across consecutive rounds without the full multi-hour run.
 """
 
+import json
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,9 +38,36 @@ def canon(v):
     return str(v)
 
 
+ROTATE_STATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".rotate_state")
+ROTATE_LOG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ROTATION_LOG.jsonl",
+)
+
+
+def _rotate_slice(names: list[str], n: int) -> list[str]:
+    """The next n query names, cyclically, from a persisted cursor."""
+    try:
+        with open(ROTATE_STATE) as f:
+            off = int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        off = 0
+    off %= max(len(names), 1)
+    picked = [names[(off + i) % len(names)] for i in range(min(n, len(names)))]
+    with open(ROTATE_STATE, "w") as f:
+        f.write(str((off + len(picked)) % len(names)))
+    return picked
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    rotate_n = 0
+    if args and args[0] == "--rotate":
+        rotate_n = int(args[1])
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -48,10 +83,15 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if rotate_n:
+        only = set(_rotate_slice(sorted(qs), rotate_n))
+        print(f"rotation slice ({rotate_n}): {sorted(only)}")
     failures = 0
+    ran = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran.append(name)
         df = fn(spark, sf_dir)
         rows = df.collect()
         cols = sorted(df.columns)
@@ -81,6 +121,14 @@ def main():
                 print("   only-spark:", list(sa - sb)[:3])
                 print("   only-duck :", list(sb - sa)[:3])
     spark.stop()
+    if rotate_n:
+        with open(ROTATE_LOG, "a") as f:
+            f.write(json.dumps({
+                "ts": int(time.time()),
+                "sf_dir": sf_dir,
+                "queries": ran,
+                "failures": failures,
+            }) + "\n")
     print("failures:", failures)
     sys.exit(1 if failures else 0)
 

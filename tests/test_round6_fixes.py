@@ -308,6 +308,79 @@ class TestCompactionRecovery:
         assert spark.read.parquet(path).count() == total
 
 
+class TestKeeperChaining:
+    """A doc that near-dups only a DROPPED member of an earlier batch
+    must still be rejected and resolve to the accepted representative
+    (member→keeper mapping closes the first-arrival-wins divergence)."""
+
+    @staticmethod
+    def _texts():
+        toks = [f"t{i}" for i in range(30)]
+        b = " ".join(toks)
+        # A: B with the last 6 tokens replaced  -> J(A,B) ~ 0.65
+        a = " ".join(toks[:24] + [f"x{i}" for i in range(6)])
+        # C: B with the first 6 tokens replaced -> J(C,B) ~ 0.65 but
+        # J(C,A) ~ 0.38 (below threshold): C chains only through B
+        c = " ".join([f"z{i}" for i in range(6)] + toks[6:])
+        return a, b, c
+
+    def test_chained_doc_rejected_and_mapped(self, spark, tmp_path):
+        import pandas as pd
+
+        from pyshp_spark.operators.dedup import true_jaccard_udf
+        from pyshp_spark.streaming.neardup_stream import neardup_filter_batch
+
+        a, b, c = self._texts()
+        jac = spark.createDataFrame(
+            pd.DataFrame({"x": [a, c, a], "y": [b, b, c]})
+        ).select(F.round(true_jaccard_udf(3)("x", "y"), 6).alias("j")).collect()
+        assert jac[0]["j"] >= 0.5 and jac[1]["j"] >= 0.5 and jac[2]["j"] < 0.5
+
+        state = str(tmp_path / "chain_keeper")
+        first = neardup_filter_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+            ),
+            state, batch_id=0,
+        )
+        # A (smaller id) keeps, B drops but its bands+text persist
+        assert [r.doc_id for r in first.collect()] == [1]
+        second = neardup_filter_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [3], "text": [c]})
+            ),
+            state, batch_id=1,
+        )
+        assert second.count() == 0  # rejected via the dropped member B
+        texts = spark.read.parquet(f"{state}/texts")
+        keeper = {r.id: r.keeper for r in texts.select("id", "keeper").collect()}
+        # B maps to A; C chains through B and resolves to A as well
+        assert keeper == {1: 1, 2: 1, 3: 1}
+
+    def test_track_dropped_false_restores_old_contract(self, spark, tmp_path):
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import neardup_filter_batch
+
+        a, b, c = self._texts()
+        state = str(tmp_path / "chain_nokeeper")
+        neardup_filter_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+            ),
+            state, batch_id=0, track_dropped=False,
+        )
+        second = neardup_filter_batch(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": [3], "text": [c]})
+            ),
+            state, batch_id=1, track_dropped=False,
+        )
+        # corpus-proportional store: B's bands are gone, C is accepted
+        # (the documented first-arrival-wins divergence)
+        assert [r.doc_id for r in second.collect()] == [3]
+
+
 # ---------------------------------------------------------------- holes ----
 
 

@@ -282,11 +282,17 @@ class TestStreamingNearDup:
         accepted = spark.read.parquet(out)
         ids = sorted(r.doc_id for r in accepted.select("doc_id").collect())
         assert ids == [1, 3, 5]
-        # the band store holds exactly the accepted docs
+        # track_dropped (default): the band store holds EVERY doc so
+        # later arrivals can chain through dropped members...
         bands = spark.read.parquet(f"{state}/bands")
         assert sorted(
             r.id for r in bands.select("id").distinct().collect()
-        ) == [1, 3, 5]
+        ) == [1, 2, 3, 4, 5, 6]
+        # ...and the text store maps each member to its accepted
+        # representative (keeper == self for accepted docs)
+        texts = spark.read.parquet(f"{state}/texts")
+        keeper = {r.id: r.keeper for r in texts.select("id", "keeper").collect()}
+        assert keeper == {1: 1, 2: 1, 3: 3, 4: 1, 5: 5, 6: 5}
 
     def test_retried_batch_is_idempotent(self, spark, tmp_path):
         """Re-running the same batch_id (a foreachBatch retry) must not
