@@ -75,6 +75,8 @@ def workload_map():
         "q18_tile_pyramid": em.q_tile_pyramid,
         "q19_zonal_stats": em.q_zonal_stats,
         "q20_poly_contains": em.q_poly_contains,
+        # round-6: distributed hole→exterior organizer (5 rings/shape)
+        "q21_hole_assign": em.q_hole_assign,
     }
 
 
@@ -137,12 +139,41 @@ def main():
         "input_points": n_points,
         "total_sec": round(total, 3),
         "layout_repeat_join": layout_bench(spark, SF_DIR),
+        "index_build": index_build_bench(spark, SF_DIR),
         "wall_sec": round(time.time() - t_all, 3),
         "cpus": CPUS,
         "sf": SF_DIR,
     }
     spark.stop()
     print(json.dumps(result))
+
+
+def index_build_bench(spark, sf_dir: str, copies: int = 25):
+    """Wall for building the broadcast polygon index over a
+    ``copies x |part|`` polygon dimension (~500k at sf0.1) — round 6
+    moved the WKB→edge/cover parse onto executors (mapInPandas), so
+    the driver's share is pure buffer reassembly (memcpy-speed)
+    regardless of polygon count or complexity."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from pyshp_spark.operators.spatial import BroadcastPolygonIndex
+
+    dia = em._diamond_wkb(em._diamonds(spark, sf_dir))
+    big = (
+        dia.crossJoin(spark.range(copies).select(F.col("id").alias("__c")))
+        .withColumn("oid", F.col("oid") * copies + F.col("__c"))
+        .drop("__c")
+        .select("wkb", "xmin", "ymin", "xmax", "ymax", "oid")
+    )
+    n = big.count()
+    t0 = time.time()
+    idx = BroadcastPolygonIndex(big, grid=em.ENTRY_GRID, polygon_cols=["oid"])
+    wall = round(time.time() - t0, 3)
+    try:
+        idx.bc.unpersist()
+    except Exception:
+        pass
+    return {"polygons": n, "build_sec": wall}
 
 
 def layout_bench(spark, sf_dir: str, iters: int = 3, num_buckets: int = 32):
@@ -306,7 +337,7 @@ def scaling(levels=(2, 8), factor=30, repeats=4):
     print(json.dumps(out))
 
 
-def stream_bench(n_batches=14, batch_rows=350, dup_frac=0.1, compact_every=4):
+def stream_bench(n_batches=20, batch_rows=350, dup_frac=0.1, compact_every=16):
     """Growing-corpus streaming near-dup bench: ``n_batches`` fixed-size
     micro-batches filter against a corpus that grows to >10x the batch
     size (plus ``dup_frac`` of each batch re-sending batch-0 texts under

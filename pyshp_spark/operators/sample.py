@@ -158,7 +158,15 @@ def stratified_sample_n(
     prefilter — inherent, the threshold derives from the counts), both
     small intermediates eagerly localCheckpoint-ed so no subtree
     re-scans; the rare-fallback branch's scan is elided at runtime by
-    AQE's empty-relation propagation when no stratum falls short."""
+    AQE's empty-relation propagation when no stratum falls short.
+
+    Side effect note: with ``prefilter=True``, CONSTRUCTING the result
+    DataFrame runs Spark jobs (the eager count/prefilter
+    materializations above) — plan-only composition (explain, lazy
+    pipelines) should use ``prefilter=False``, whose plan is fully
+    lazy.  The checkpointed blocks are executor-local; on a real
+    cluster an executor lost after construction requires re-calling
+    this function (blocks have no lineage)."""
     if n <= 0:
         raise ValueError("n must be positive")
     from pyspark.sql import Window

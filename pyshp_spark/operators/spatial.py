@@ -181,8 +181,8 @@ def point_in_polygon_join(
     the reference's organized exterior-minus-holes membership.
 
     Scale notes: the broadcast path is for dimension-sized polygon
-    sets — geometries are parsed ONCE on the driver and shipped to
-    executors as a broadcast variable of edge arrays, so the cell
+    sets — geometries are parsed ONCE (distributed, on the executors)
+    into flat edge arrays shipped as a broadcast variable, so the cell
     equi-join carries only a dense int polygon id (no WKB bytes ever
     cross Arrow on the fact side) and the probe side never shuffles.
     ``broadcast_polygons="auto"`` (default) probes the build-side size
