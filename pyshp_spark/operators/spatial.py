@@ -336,6 +336,15 @@ def _parse_polygons_distributed(
     keep_names = [f.name for f in keep]
     empty = b""
 
+    # a dimension table often arrives as ONE scan partition (small file
+    # counts, single row groups); the parse is the expensive part, so
+    # spread it across the cluster — the one-time WKB shuffle is
+    # dimension-sized and buys core-count parallelism
+    sc = polygons.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if polygons.rdd.getNumPartitions() < max(2, target // 2):
+        polygons = polygons.repartition(target)
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep_names].copy()
@@ -363,7 +372,25 @@ def _parse_polygons_distributed(
             ]
             yield out
 
-    return polygons.mapInPandas(parse, schema=out_schema).toPandas()
+    parsed = polygons.mapInPandas(parse, schema=out_schema)
+    # the collect must take the Arrow path: the default row-pickled
+    # toPandas is ~50x slower at the broadcast guard ceiling (hundreds
+    # of thousands of binary-blob rows).  Flip the conf only around
+    # this call and restore whatever the session had.
+    sess = polygons.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    try:
+        prev = sess.conf.get(key)
+    except Exception:
+        prev = None
+    try:
+        sess.conf.set(key, "true")
+        return parsed.toPandas()
+    finally:
+        if prev is not None:
+            sess.conf.set(key, prev)
+        else:
+            sess.conf.unset(key)
 
 
 class BroadcastPolygonIndex:
@@ -422,11 +449,24 @@ class BroadcastPolygonIndex:
             (len(b) // 8 for b in cover_blobs), dtype=np.int64, count=n
         )
         cover_cell = np.frombuffer(b"".join(cover_blobs), dtype=np.int64)
-        cover_pid = np.repeat(np.arange(n, dtype=np.int64), cover_counts)
+        cover_pid = np.repeat(np.arange(n, dtype=np.int32), cover_counts)
         order = np.argsort(cover_cell, kind="stable")
         sorted_cells = cover_cell[order]
+        # int32 pids halve the broadcast's fattest buffer (valid: the
+        # row guard caps the build side well under 2^31 rows)
         sorted_pids = cover_pid[order]
-        uniq_cells, cell_starts = np.unique(sorted_cells, return_index=True)
+        # uniques via the diff mask — np.unique would re-SORT the
+        # already-sorted array (the build's single hottest step at the
+        # guard ceiling)
+        if len(sorted_cells):
+            uniq_mask = np.empty(len(sorted_cells), dtype=bool)
+            uniq_mask[0] = True
+            np.not_equal(sorted_cells[1:], sorted_cells[:-1], out=uniq_mask[1:])
+            uniq_cells = sorted_cells[uniq_mask]
+            cell_starts = np.flatnonzero(uniq_mask)
+        else:
+            uniq_cells = sorted_cells
+            cell_starts = np.empty(0, dtype=np.int64)
         cell_offsets = np.concatenate([cell_starts, [len(sorted_cells)]])
         self.bc = spark.sparkContext.broadcast(
             (all_edges, edge_offsets, bbox_arr, uniq_cells, cell_offsets,
@@ -847,13 +887,14 @@ def knn_join(
     cell radius 2^r, keeps per-query top-k, and declares a query
     resolved when its k-th candidate distance is <= the guaranteed
     covered distance radius*min(dx,dy) (any nearer target must lie in
-    an already-searched cell).  Unresolved queries escalate through
-    ``max_rounds`` rings plus ONE extra widened ring; any stragglers
-    still left (empty regions / degenerate grids) fall back to a
-    broadcast brute scan — but only when the target side passes the
-    broadcast size guard.  Past the guard the old behavior was an
-    unbounded distributed cartesian; now it raises loudly instead
-    (raise ``max_rounds`` or use a finer grid).  Driver only
+    an already-searched cell).  Stragglers left after ``max_rounds``
+    (empty regions / degenerate grids) fall back to a broadcast brute
+    scan when the target side passes the broadcast size guard (cheap:
+    the straggler set is tiny).  Past the guard — where the old
+    behavior was an unbounded distributed cartesian — ONE extra
+    widened ring (radius 2^max_rounds) runs first, and if queries
+    STILL remain it raises loudly (raise ``max_rounds`` or use a finer
+    grid) instead of running a cluster-killer.  Driver only
     orchestrates rounds — all data work is joins + windows.
 
     ``brute_threshold`` is opt-in: when set, a target set at or below
@@ -879,13 +920,11 @@ def knn_join(
     cached = [tgt]
     remaining = queries
     results = []
-    # +1: one extra widened ring before conceding to the fallback —
-    # cheap insurance that keeps sparse-but-not-empty regions off the
-    # brute path entirely
-    for r in range(max_rounds + 1):
+
+    def ring_round(remaining, r: int):
+        """One cell-ring expansion round; returns the still-unresolved
+        query set after accumulating this radius's candidates."""
         radius = 2**r
-        if remaining.isEmpty():
-            break
         # explode each query into its neighborhood cells at this radius
         q = remaining.withColumn(
             _P + "qcol", grid.col_expr(F.col(qx))
@@ -927,35 +966,46 @@ def knn_join(
             .where(F.col("dist2") <= F.lit(safe_dist))
             .select(query_id)
         )
-        remaining = remaining.join(kth, on=query_id, how="left_anti")
+        return remaining.join(kth, on=query_id, how="left_anti")
+
+    for r in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        remaining = ring_round(remaining, r)
 
     if not remaining.isEmpty():
-        # straggler fallback: queries still unresolved after the rounds
-        # scan the whole target set — but ONLY as a broadcast brute
-        # join.  A target side past the broadcast guard would turn this
-        # into an unguarded distributed cartesian (queries x full fact
-        # table); fail loudly with the fix instead of silently running
-        # a cluster-killer.
+        # straggler fallback: a broadcast brute scan when the target
+        # side fits the guard (cheap — the straggler set is tiny).
+        # Past the guard the old behavior was an unguarded distributed
+        # cartesian (queries x full fact table): instead run ONE extra
+        # widened ring, then fail loudly with the fix if queries STILL
+        # remain.
         if not _resolve_broadcast(targets, "auto", 4_000_000):
-            for df in cached:
-                df.unpersist()
-            raise RuntimeError(
-                "knn_join: queries remain unresolved after "
-                f"{max_rounds}+1 cell-ring rounds and the target side is "
-                "too large to broadcast for the brute fallback — raise "
-                "max_rounds or use a finer grid so the ring search can "
-                "terminate without a distributed cartesian product"
+            remaining = ring_round(remaining, max_rounds)
+            if not remaining.isEmpty():
+                for df in cached:
+                    df.unpersist()
+                raise RuntimeError(
+                    "knn_join: queries remain unresolved after "
+                    f"{max_rounds}+1 cell-ring rounds and the target side "
+                    "is too large to broadcast for the brute fallback — "
+                    "raise max_rounds or use a finer grid so the ring "
+                    "search can terminate without a distributed cartesian "
+                    "product"
+                )
+        else:
+            t = F.broadcast(
+                targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
             )
-        t = F.broadcast(
-            targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
-        )
-        results.append(
-            remaining.crossJoin(t).withColumn(
-                "dist2",
-                (F.col(qx) - F.col("__t_" + tx)) * (F.col(qx) - F.col("__t_" + tx))
-                + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
+            results.append(
+                remaining.crossJoin(t).withColumn(
+                    "dist2",
+                    (F.col(qx) - F.col("__t_" + tx))
+                    * (F.col(qx) - F.col("__t_" + tx))
+                    + (F.col(qy) - F.col("__t_" + ty))
+                    * (F.col(qy) - F.col("__t_" + ty)),
+                )
             )
-        )
     if not results:
         # empty query set: the brute plan yields the correctly-shaped
         # empty result without touching the round machinery

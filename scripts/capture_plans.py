@@ -135,6 +135,10 @@ def main():
     )
     sections["poly_contains (ring_sample points probe the broadcast "
              "polygon index)"] = fmt(em.q_poly_contains(spark, sf_dir))
+    sections["hole_assign (distributed organize_polygon_rings: "
+             "bbox-candidate join + ray-cast refine + min-area window)"] = fmt(
+        em.q_hole_assign(spark, sf_dir)
+    )
 
     out = []
     for name, plan in sections.items():

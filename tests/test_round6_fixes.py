@@ -146,13 +146,14 @@ class TestDeterministicPidPath:
 
 
 class TestKnnFallbackBounds:
-    def test_extra_ring_resolves_without_fallback(self, spark, monkeypatch):
+    def test_extra_ring_resolves_unbroadcastable_without_cartesian(
+        self, spark, monkeypatch
+    ):
         import pyshp_spark.operators.spatial as sp
 
-        def boom(*a, **k):
-            raise AssertionError("fallback engaged — extra ring did not fire")
-
-        monkeypatch.setattr(sp, "_resolve_broadcast", boom)
+        # simulate a fact-sized target side: the brute fallback is
+        # forbidden, so only the extra widened ring can resolve
+        monkeypatch.setattr(sp, "_resolve_broadcast", lambda *a, **k: False)
         queries = spark.createDataFrame([Row(query_id=0, x=0.0, y=0.0)])
         # target sits ~3 cells away: radius 1, 2 miss; the extra
         # widened ring (radius 4 = 2^max_rounds) must reach it
