@@ -1204,7 +1204,9 @@ def assign_holes_distributed(
       exterior downstream, reference sf.py:1063-1093), including every
       ring of an all-holes shape (sf.py:1096-1102); parent is NULL.
       A hole too degenerate to sample (RingSamplingError — where the
-      single-process reference would raise) also lands here.
+      single-process reference would raise) also lands here, as does a
+      row whose ``wkb`` is NULL (unclassifiable winding) — every input
+      row appears exactly once in the output (row accounting holds).
 
     Scale shape: ring stats are one Arrow pass; the candidate join is
     per-shape (equi-join on shape_id) exactly mirroring the reference's
@@ -1217,6 +1219,14 @@ def assign_holes_distributed(
     stats = with_ring_stats(rings).persist()
     exts = stats.where(F.col("is_cw"))
     holes = stats.where(~F.col("is_cw"))
+    # NULL wkb -> NULL is_cw matches NEITHER filter above: surface those
+    # rows as orphans (NULL parent) instead of silently dropping them
+    out_nullwkb = stats.where(F.col("is_cw").isNull()).select(
+        shape_id,
+        ring_idx,
+        F.lit("orphan").alias("role"),
+        F.lit(None).cast(rings.schema[ring_idx].dataType).alias("parent_idx"),
+    )
 
     out_ext = exts.select(
         shape_id,
@@ -1307,4 +1317,4 @@ def assign_holes_distributed(
     )
     return out_ext.unionByName(out_lone).unionByName(out_noext).unionByName(
         out_multi
-    ).unionByName(out_orphan)
+    ).unionByName(out_orphan).unionByName(out_nullwkb)

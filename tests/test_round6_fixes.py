@@ -434,6 +434,25 @@ class TestAssignHolesDistributed:
             want = _ref_assignment(ref_shapefile, rings)
             assert got.get(name, {}) == want, name
 
+    def test_null_wkb_ring_becomes_orphan(self, spark, ref_shapefile):
+        """A ring row with NULL wkb (unclassifiable winding) must appear
+        in the output as an orphan, not vanish — row accounting holds."""
+        from tests.test_kernels import TestOrganizeRings
+
+        cases = {"good": TestOrganizeRings.CASES["single_ext_two_holes"]}
+        df = _rings_df(spark, cases)
+        null_row = spark.createDataFrame(
+            [Row(shape_id="good", ring_idx=99, wkb=None,
+                 xmin=0.0, ymin=0.0, xmax=0.0, ymax=0.0)],
+            schema=df.schema,
+        )
+        got = _got_assignment(
+            assign_holes_distributed(df.unionByName(null_row))
+        )
+        assert got["good"][99] == ("orphan", None)
+        want = _ref_assignment(ref_shapefile, cases["good"])
+        assert {k: v for k, v in got["good"].items() if k != 99} == want
+
     def test_blockgroups_multipart_corpus(self, spark, ref_shapefile):
         """Every real multipart shape in the reference's blockgroups
         fixture: distributed assignment == the reference organizer."""
