@@ -22,6 +22,7 @@ appears at most once after the cell join — no dedup pass is needed.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -375,9 +376,17 @@ def _parse_polygons_distributed(
     parsed = polygons.mapInPandas(parse, schema=out_schema)
     # the collect must take the Arrow path: the default row-pickled
     # toPandas is ~50x slower at the broadcast guard ceiling (hundreds
-    # of thousands of binary-blob rows).  Flip the conf only around
-    # this call and restore whatever the session had.
-    sess = polygons.sparkSession
+    # of thousands of binary-blob rows).
+    with _arrow_enabled(polygons.sparkSession):
+        return parsed.toPandas()
+
+
+@contextmanager
+def _arrow_enabled(sess):
+    """Force the Arrow JVM<->Python path around a driver transfer
+    (toPandas / createDataFrame-from-pandas) and restore whatever the
+    session had — the default row-pickled path is ~50x slower at the
+    broadcast guard ceiling."""
     key = "spark.sql.execution.arrow.pyspark.enabled"
     try:
         prev = sess.conf.get(key)
@@ -385,7 +394,7 @@ def _parse_polygons_distributed(
         prev = None
     try:
         sess.conf.set(key, "true")
-        return parsed.toPandas()
+        yield
     finally:
         if prev is not None:
             sess.conf.set(key, prev)
@@ -486,7 +495,13 @@ class BroadcastPolygonIndex:
                 [StructField(_P + "pid", IntegerType())]
                 + [self._gfields[g] for g in self.gcols]
             )
-            self._gtable = self.spark.createDataFrame(gpdf, schema=gschema)
+            # same Arrow-path rule as the index-build collect: a
+            # row-pickled createDataFrame of a guard-ceiling attrs
+            # table would dominate the first probe's wall
+            with _arrow_enabled(self.spark):
+                self._gtable = self.spark.createDataFrame(
+                    gpdf, schema=gschema
+                )
         return self._gtable
 
     def join_points(self, points: DataFrame, x: str = "x", y: str = "y",
