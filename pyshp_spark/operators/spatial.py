@@ -1196,6 +1196,8 @@ def assign_holes_distributed(
     rings: DataFrame,
     shape_id: str = "shape_id",
     ring_idx: str = "ring_idx",
+    cell_block_threshold: int = 64,
+    max_cover: int = 64,
 ) -> DataFrame:
     """Distributed hole→exterior assignment: the reference's
     ``organize_polygon_rings`` (sf.py:977-1102) lifted from a per-shape
@@ -1223,10 +1225,24 @@ def assign_holes_distributed(
       row whose ``wkb`` is NULL (unclassifiable winding) — every input
       row appears exactly once in the output (row accounting holds).
 
-    Scale shape: ring stats are one Arrow pass; the candidate join is
-    per-shape (equi-join on shape_id) exactly mirroring the reference's
-    per-shape quadratic prefilter, so a single monster shape is the
-    skew unit — the refine itself is the vectorized pair kernel.
+    Scale shape: ring stats are one Arrow pass; the ray-cast refine is
+    hash-distributed per HOLE (the candidate-count window exchanges on
+    (shape, hole) before it), so even one monster shape's refine
+    spreads across the cluster.  The bbox candidate join is per-shape
+    for ordinary shapes (equi-join on shape_id, mirroring the
+    reference's per-shape quadratic prefilter) — but a shape with more
+    than ``cell_block_threshold`` exteriors switches to a CELL-BLOCKED
+    candidate join: a per-shape ~sqrt(n_ext) x sqrt(n_ext) grid over
+    the exteriors' extent, each exterior bbox exploded to its covered
+    cells (capped at ``max_cover``; wider rings fall back to a
+    per-shape broad bucket), each hole hashed to its bbox min-corner
+    cell, and candidates found by (shape, cell) equi-join.  Because an
+    exterior that strictly bbox-contains a hole must cover the hole's
+    min-corner cell (floor is monotone and both sides clamp to the
+    same grid), blocking is lossless; the exact strict-contains filter
+    then applies to BOTH paths.  This turns the quadratic
+    |holes| x |exteriors| enumeration of a dissolved-admin/coastline
+    monster shape into near-linear work spread by cell.
     """
     from pyshp_spark.operators.geometry import with_ring_stats  # noqa: PLC0415
 
@@ -1253,6 +1269,11 @@ def assign_holes_distributed(
     ext_counts = exts.groupBy(shape_id).agg(
         F.count(F.lit(1)).alias("__n_ext"),
         F.min(ring_idx).alias("__lone_ext"),
+        # exterior-extent grid origin/corner for the cell-blocked path
+        F.min("xmin").alias("__gx0"),
+        F.min("ymin").alias("__gy0"),
+        F.max("xmax").alias("__gx1"),
+        F.max("ymax").alias("__gy1"),
     )
     h = holes.join(ext_counts, on=shape_id, how="left")
     null_parent = F.lit(None).cast(idx_type)
@@ -1268,7 +1289,8 @@ def assign_holes_distributed(
         F.col("__lone_ext").cast(idx_type).alias("parent_idx"),
     )
 
-    hm = h.where(F.col("__n_ext") > 1).select(
+    grid_cols = ["__n_ext", "__gx0", "__gy0", "__gx1", "__gy1"]
+    hm_all = h.where(F.col("__n_ext") > 1).select(
         shape_id,
         F.col(ring_idx).alias("__h_idx"),
         F.col("xmin").alias("__hxmin"),
@@ -1277,16 +1299,94 @@ def assign_holes_distributed(
         F.col("ymax").alias("__hymax"),
         "sx",
         "sy",
+        *grid_cols,
     )
-    cand = hm.join(
-        exts.select(
-            shape_id,
-            F.col(ring_idx).alias("__e_idx"),
-            "wkb", "xmin", "ymin", "xmax", "ymax", "area2",
+    hm = hm_all.drop(*grid_cols)
+    ext_m = exts.select(
+        shape_id,
+        F.col(ring_idx).alias("__e_idx"),
+        "wkb", "xmin", "ymin", "xmax", "ymax", "area2",
+    ).join(ext_counts.select(shape_id, *grid_cols), on=shape_id)
+    pair_cols = [
+        shape_id, "__h_idx", "__hxmin", "__hymin", "__hxmax", "__hymax",
+        "sx", "sy", "__e_idx", "wkb", "xmin", "ymin", "xmax", "ymax",
+        "area2",
+    ]
+    thr = F.lit(cell_block_threshold)
+    # ordinary shapes: plain per-shape equi-join (the reference's
+    # quadratic prefilter — fine while n_ext is task-sized)
+    cand_plain = (
+        hm_all.where(F.col("__n_ext") <= thr)
+        .drop(*grid_cols)
+        .join(
+            ext_m.where(F.col("__n_ext") <= thr).drop(*grid_cols),
+            on=shape_id,
+        )
+        .select(*pair_cols)
+    )
+    # ring-heavy shapes: cell-blocked candidate join.  k ~ sqrt(n_ext)
+    # cells per axis over the exteriors' extent; degenerate (zero-area)
+    # extents divide by a tiny epsilon and clamp into [0, k-1].
+    kcol = F.least(
+        F.lit(1024),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.sqrt(F.col("__n_ext").cast("double"))).cast("int"),
         ),
-        on=shape_id,
+    ).cast("long")
+    cw = F.greatest((F.col("__gx1") - F.col("__gx0")) / kcol, F.lit(1e-300))
+    ch = F.greatest((F.col("__gy1") - F.col("__gy0")) / kcol, F.lit(1e-300))
+
+    def cell_of(v, origin, width, k):
+        return F.least(k - 1, F.greatest(F.lit(0), F.floor((v - origin) / width)))
+
+    eb = (
+        ext_m.where(F.col("__n_ext") > thr)
+        .withColumn("__k", kcol)
+        .withColumn("__c0", cell_of(F.col("xmin"), F.col("__gx0"), cw, F.col("__k")))
+        .withColumn("__c1", cell_of(F.col("xmax"), F.col("__gx0"), cw, F.col("__k")))
+        .withColumn("__r0", cell_of(F.col("ymin"), F.col("__gy0"), ch, F.col("__k")))
+        .withColumn("__r1", cell_of(F.col("ymax"), F.col("__gy0"), ch, F.col("__k")))
+        .withColumn(
+            "__ncell",
+            (F.col("__c1") - F.col("__c0") + 1)
+            * (F.col("__r1") - F.col("__r0") + 1),
+        )
+    )
+    ext_keep = ["__e_idx", "wkb", "xmin", "ymin", "xmax", "ymax", "area2"]
+    ext_cells = (
+        eb.where(F.col("__ncell") <= F.lit(max_cover))
+        .withColumn("__cc", F.explode(F.sequence(F.col("__c0"), F.col("__c1"))))
+        .withColumn("__cr", F.explode(F.sequence(F.col("__r0"), F.col("__r1"))))
+        .select(
+            shape_id,
+            (F.col("__cr") * F.col("__k") + F.col("__cc")).alias("__cell"),
+            *ext_keep,
+        )
+    )
+    # an exterior covering more than max_cover cells joins every hole
+    # of its shape instead of exploding (bounded fan-out)
+    ext_broad = eb.where(F.col("__ncell") > F.lit(max_cover)).select(
+        shape_id, *ext_keep
+    )
+    hb = (
+        hm_all.where(F.col("__n_ext") > thr)
+        .withColumn("__k", kcol)
+        .withColumn(
+            "__cell",
+            cell_of(F.col("__hymin"), F.col("__gy0"), ch, F.col("__k"))
+            * F.col("__k")
+            + cell_of(F.col("__hxmin"), F.col("__gx0"), cw, F.col("__k")),
+        )
+        .drop(*grid_cols, "__k")
+    )
+    cand_cell = hb.join(ext_cells, on=[shape_id, "__cell"]).select(*pair_cols)
+    cand_broad = hb.drop("__cell").join(ext_broad, on=shape_id).select(*pair_cols)
+    cand = (
+        cand_plain.unionByName(cand_cell).unionByName(cand_broad)
     ).where(
-        # strict bbox-contains, reference sf.py:864-869 semantics
+        # strict bbox-contains, reference sf.py:864-869 semantics —
+        # the exact filter shared by all three candidate sources
         (F.col("xmin") < F.col("__hxmin"))
         & (F.col("__hxmax") < F.col("xmax"))
         & (F.col("ymin") < F.col("__hymin"))

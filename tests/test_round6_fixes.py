@@ -425,14 +425,50 @@ def _got_assignment(df):
 
 
 class TestAssignHolesDistributed:
-    def test_golden_pathology_cases(self, spark, ref_shapefile):
+    # threshold 64 = every fixture takes the plain per-shape join;
+    # threshold 0 = every multi-exterior shape takes the cell-blocked
+    # candidate join — both must match the reference ring-for-ring
+    @pytest.mark.parametrize("threshold", [64, 0])
+    def test_golden_pathology_cases(self, spark, ref_shapefile, threshold):
         from tests.test_kernels import TestOrganizeRings
 
         cases = TestOrganizeRings.CASES
-        got = _got_assignment(assign_holes_distributed(_rings_df(spark, cases)))
+        got = _got_assignment(assign_holes_distributed(
+            _rings_df(spark, cases), cell_block_threshold=threshold
+        ))
         for name, rings in cases.items():
             want = _ref_assignment(ref_shapefile, rings)
-            assert got.get(name, {}) == want, name
+            assert got.get(name, {}) == want, (name, threshold)
+
+    @pytest.mark.parametrize("max_cover", [64, 1])
+    def test_ring_heavy_shape_cell_blocked(self, spark, ref_shapefile,
+                                           max_cover):
+        """A single shape with hundreds of exteriors must produce the
+        reference assignment through the cell-blocked path (threshold
+        forced to 0), including with max_cover=1 forcing every
+        exterior into the broad-bucket fallback."""
+        rng = __import__("random").Random(7)
+        rings = []
+        for i in range(300):
+            x0, y0 = (i % 20) * 10.0, (i // 20) * 10.0
+            # CW exterior
+            rings.append([(x0, y0), (x0, y0 + 8), (x0 + 8, y0 + 8),
+                          (x0 + 8, y0), (x0, y0)])
+            if rng.random() < 0.5:
+                # CCW hole inside it
+                rings.append([(x0 + 2, y0 + 2), (x0 + 5, y0 + 2),
+                              (x0 + 5, y0 + 5), (x0 + 2, y0 + 5),
+                              (x0 + 2, y0 + 2)])
+        # an orphan hole outside every exterior
+        rings.append([(500.0, 500.0), (503.0, 500.0), (503.0, 503.0),
+                      (500.0, 503.0), (500.0, 500.0)])
+        cases = {"monster": rings}
+        got = _got_assignment(assign_holes_distributed(
+            _rings_df(spark, cases), cell_block_threshold=0,
+            max_cover=max_cover,
+        ))
+        want = _ref_assignment(ref_shapefile, rings)
+        assert got["monster"] == want
 
     def test_null_wkb_ring_becomes_orphan(self, spark, ref_shapefile):
         """A ring row with NULL wkb (unclassifiable winding) must appear
@@ -469,9 +505,10 @@ class TestAssignHolesDistributed:
             cases[f"s{i}"] = rings
         multi = {k: v for k, v in cases.items() if len(v) > 1}
         assert multi, "fixture should contain multipart shapes"
-        got = _got_assignment(
-            assign_holes_distributed(_rings_df(spark, cases))
-        )
-        for name, rings in cases.items():
-            want = _ref_assignment(ref_shapefile, rings)
-            assert got.get(name, {}) == want, name
+        for threshold in (64, 0):  # plain AND cell-blocked paths
+            got = _got_assignment(assign_holes_distributed(
+                _rings_df(spark, cases), cell_block_threshold=threshold
+            ))
+            for name, rings in cases.items():
+                want = _ref_assignment(ref_shapefile, rings)
+                assert got.get(name, {}) == want, (name, threshold)
