@@ -1393,7 +1393,14 @@ def assign_holes_distributed(
         & (F.col("__hymax") < F.col("ymax"))
     )
     wcnt = Window.partitionBy(shape_id, "__h_idx")
-    cand = cand.withColumn("__ncand", F.count(F.lit(1)).over(wcnt))
+    # persist the shared subtrees: ``cand`` feeds both the single- and
+    # multi-candidate splits and ``assigned`` feeds both out_multi and
+    # the orphan anti-join — without a cache each union branch re-runs
+    # the whole candidate-join + refine chain (4x the exchanges under
+    # AQE's serial stage materialization).  Both frames are small
+    # (bbox-surviving candidate pairs / one row per assigned hole) and
+    # stay lazy — no eager job at construction time.
+    cand = cand.withColumn("__ncand", F.count(F.lit(1)).over(wcnt)).persist()
     keep_cols = [shape_id, "__h_idx", "__e_idx", "area2"]
     # exactly one bbox candidate: assigned WITHOUT the ray-cast check —
     # reference parity (the refine loop only runs for >1 candidates)
@@ -1410,7 +1417,7 @@ def assign_holes_distributed(
         .where(F.col("__rk") == 1)
         .select(*keep_cols)
     )
-    assigned = single.unionByName(best)
+    assigned = single.unionByName(best).persist()
     out_multi = assigned.select(
         shape_id,
         F.col("__h_idx").alias(ring_idx),
