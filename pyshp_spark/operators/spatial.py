@@ -1089,6 +1089,18 @@ def tile_pyramid(
     if zoom_min > zoom_max:
         raise ValueError("zoom_min must be <= zoom_max")
     keys = keys or []
+    # the union's level branches are identical plan prefixes, so the
+    # "corpus scanned once" property is delivered at RUNTIME by
+    # Spark's exchange/query-stage reuse (on by default, and part of
+    # AQE): every branch's corpus-sized shuffle canonicalizes to ONE
+    # stage, and each branch re-aggregates only post-shuffle
+    # level-sized rows.  Deliberately NOT persisted per level: an
+    # interleaved A/B (13 levels, 40M rows, local[16]) measured
+    # per-level persist STRICTLY worse — +12 s of driver planning at
+    # construction (CacheManager plans each nested level eagerly),
+    # 35 s vs 15-27 s first action, and a 12 s cache-scan tax on
+    # re-reads — because stage reuse already dedups the only
+    # corpus-sized work.
     cur = (
         tiles.groupBy(
             F.col(tx).cast("long").alias("tx"),

@@ -377,6 +377,11 @@ def rollup_counts(
                 f"levels must nest: {coarse} is not a multiple of {fine}"
             )
     lvl_us = [lvl * US for lvl in levels_s]
+    # level branches are identical plan prefixes: the single corpus
+    # shuffle is deduplicated at runtime by exchange/query-stage reuse
+    # (see tile_pyramid — an interleaved A/B measured per-level
+    # persist strictly worse: eager planning at construction plus a
+    # cache-scan tax, for work stage reuse already dedups).
     cur = (
         df.withColumn("__us", _us(df, ts))
         .withColumn(
