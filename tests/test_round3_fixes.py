@@ -163,7 +163,7 @@ class TestSchemaUnion:
         assert dict(df.dtypes)["COMMON"] == "bigint"
 
 
-def _wait_rows(spark, table, want, timeout=60):
+def _wait_rows(spark, table, want, timeout=120):
     t0 = time.time()
     while time.time() - t0 < timeout:
         n = spark.sql(f"SELECT count(*) AS n FROM {table}").first().n
@@ -177,7 +177,11 @@ class TestParallelStream:
     def _mk_file(self, d, base, val):
         shp, shx = write_shp([(1, (float(val), float(val)), None, None, None)])
         dbf = write_dbf([("V", "N", 8, 0)], [[val]])
-        for ext, data in (("shp", shp), ("shx", shx), ("dbf", dbf)):
+        # .shp LAST: discovery keys on *.shp and each file is picked up
+        # exactly once, so a micro-batch landing between the .shp and
+        # .dbf writes would permanently capture V as NULL (observed as
+        # a flake under heavy host contention)
+        for ext, data in (("dbf", dbf), ("shx", shx), ("shp", shp)):
             with open(d / f"{base}.{ext}", "wb") as f:
                 f.write(data)
 
@@ -226,7 +230,7 @@ class TestParallelStream:
             # new file WITHOUT a sibling .dbf: V must come back null
             # instead of killing the query (round-2 ADVICE)
             shp, shx = write_shp([(1, (9.0, 9.0), None, None, None)])
-            for ext, data in (("shp", shp), ("shx", shx)):
+            for ext, data in (("shx", shx), ("shp", shp)):
                 with open(d / f"f2.{ext}", "wb") as f:
                     f.write(data)
             assert _wait_rows(spark, name, 2) == 2
