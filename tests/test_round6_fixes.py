@@ -512,3 +512,42 @@ class TestAssignHolesDistributed:
             for name, rings in cases.items():
                 want = _ref_assignment(ref_shapefile, rings)
                 assert got.get(name, {}) == want, (name, threshold)
+
+
+class TestCascadeStageReuse:
+    """The cascade rollups deliberately do NOT persist per level: their
+    union branches are identical plan prefixes, so the one corpus-sized
+    shuffle must be deduplicated by runtime exchange reuse (an
+    interleaved A/B measured per-level persist strictly worse — see
+    tile_pyramid's docstring and BENCH.md).  Pin that the reuse
+    actually fires, so a Spark upgrade or config change that silently
+    breaks it (turning the cascade into L corpus scans) is caught."""
+
+    def _reused_exchanges(self, df) -> int:
+        _ = df.collect()  # executedPlan is final only after an action
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        return plan.count("ReusedExchange")
+
+    def test_tile_pyramid_reuses_base_exchange(self, spark):
+        from pyshp_spark.operators.spatial import tile_pyramid
+
+        df = spark.range(100_000).select(
+            (F.col("id") % 251).alias("tile_x"),
+            (F.col("id") % 241).alias("tile_y"),
+        )
+        out = tile_pyramid(df, zoom_max=6, zoom_min=0)
+        # 7 levels: the corpus-sized base exchange must be reused by
+        # each of the 6 coarser branches
+        assert self._reused_exchanges(out) >= 6
+
+    def test_rollup_counts_reuses_base_exchange(self, spark):
+        from pyshp_spark.operators.temporal import rollup_counts
+
+        df = spark.range(100_000).select(
+            F.timestamp_seconds(F.col("id") % 500_000).alias("ts"),
+            (F.col("id") % 3).cast("string").alias("event_type"),
+        )
+        out = rollup_counts(df, levels_s=[60, 3600, 86400])
+        # 3 levels: base exchange reused by the 2 coarser branches
+        assert self._reused_exchanges(out) >= 2
