@@ -1255,6 +1255,14 @@ def assign_holes_distributed(
     then applies to BOTH paths.  This turns the quadratic
     |holes| x |exteriors| enumeration of a dissolved-admin/coastline
     monster shape into near-linear work spread by cell.
+
+    Caching: three small frames (ring stats, surviving candidate
+    pairs, per-hole assignments) are lazily persisted because each
+    feeds multiple non-identical union branches (runtime exchange
+    reuse cannot dedup those; without the cache one action re-ran the
+    candidate chain 4x).  They stay cached until evicted — a
+    long-lived session calling this in a loop can reclaim storage
+    with ``spark.catalog.clearCache()`` after consuming the result.
     """
     from pyshp_spark.operators.geometry import with_ring_stats  # noqa: PLC0415
 
