@@ -551,3 +551,29 @@ class TestCascadeStageReuse:
         out = rollup_counts(df, levels_s=[60, 3600, 86400])
         # 3 levels: base exchange reused by the 2 coarser branches
         assert self._reused_exchanges(out) >= 2
+
+
+class TestLazyConstruction:
+    def test_assign_holes_construction_runs_no_jobs(self, spark):
+        """The persisted subtrees must stay lazy: constructing the
+        result (plan composition, explain) runs NO Spark job — the
+        eager-side-effect pitfall round-5 ADVICE flagged for
+        localCheckpoint paths."""
+        from pyshp_spark.operators.spatial import assign_holes_distributed
+
+        sc = spark.sparkContext
+        rows = [Row(shape_id="s", ring_idx=0,
+                    wkb=bytearray(wkb_polygon(
+                        [[(0.0, 0.0), (0.0, 4.0), (4.0, 4.0),
+                          (4.0, 0.0), (0.0, 0.0)]])),
+                    xmin=0.0, ymin=0.0, xmax=4.0, ymax=4.0)]
+        df = spark.createDataFrame(rows)
+        sc.setJobGroup("lazy-probe", "construction must be lazy")
+        try:
+            out = assign_holes_distributed(df)
+            out.explain()  # plan compilation allowed, jobs are not
+            jobs = sc.statusTracker().getJobIdsForGroup("lazy-probe")
+            assert list(jobs) == [], f"construction ran jobs: {jobs}"
+        finally:
+            sc.setJobGroup(None, None)
+        assert out.count() == 1  # and the plan still executes
