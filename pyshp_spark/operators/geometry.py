@@ -176,45 +176,16 @@ def with_ring_sample(
     This is the building block that lifts the reference's single-process
     ring-containment logic into distributed polygon⋈polygon joins: the
     sample point reduces "polygon A assigned to polygon B" to a plain
-    point-in-polygon probe of this engine's PIP join."""
-    from pyspark.sql.types import DoubleType, StructField, StructType  # noqa: PLC0415
+    point-in-polygon probe of this engine's PIP join.
 
-    from pyshp_spark.kernels.rings import is_cw, ring_sample  # noqa: PLC0415
-    from pyshp_spark.kernels.wkb import wkb_rings  # noqa: PLC0415
-
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(sx, DoubleType()), StructField(sy, DoubleType())]
-    )
-
-    def sample(batches):
-        import pandas as pd  # noqa: PLC0415
-
-        cache: dict[bytes, tuple[float, float]] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            # factorize codes NULL wkb as -1: those rows pass through
-            # with NULL sample coords instead of being dropped
-            codes, uniques = pd.factorize(pdf[wkb])
-            pts = []
-            for w in uniques:
-                b = bytes(w)
-                p = cache.get(b)
-                if p is None:
-                    # match the ring's own winding: arbitrary WKB may
-                    # carry a CCW first ring, and the kernel's triplet
-                    # orientation gate requires the true orientation
-                    ring = wkb_rings(b)[0]
-                    p = ring_sample(ring, ccw=not is_cw(ring))
-                    cache[b] = p
-                pts.append(p)
-            pdf = pdf.copy()
-            pdf[sx] = [pts[c][0] if c >= 0 else None for c in codes]
-            pdf[sy] = [pts[c][1] if c >= 0 else None for c in codes]
-            yield pdf
-
-    return df.mapInPandas(sample, schema=out_schema)
+    Delegates to :func:`with_ring_stats` (one shared Arrow-batch
+    machinery) and drops the winding/area columns; like it, a ring-less
+    (POLYGON EMPTY) or too-degenerate-to-sample ring yields NULL
+    coords rather than aborting the job."""
+    cw_tmp, a2_tmp = f"__{sx}_cw", f"__{sx}_a2"
+    return with_ring_stats(
+        df, wkb=wkb, is_cw_col=cw_tmp, area2_col=a2_tmp, sx=sx, sy=sy
+    ).drop(cw_tmp, a2_tmp)
 
 
 def with_ring_stats(
@@ -224,15 +195,26 @@ def with_ring_stats(
     area2_col: str = "area2",
     sx: str = "sx",
     sy: str = "sy",
+    wkb_cw_only: bool = False,
 ) -> DataFrame:
     """Append per-ring classification stats for the FIRST ring of each
     WKB: winding (``is_cw`` — reference sf.py:835-840: CW == exterior),
     ``area2`` = |2x signed area| (the reference's nested-exterior
     tie-break metric, sf.py:1053-1061) and the deterministic interior
-    sample point (sf.py:921-968).  NULL wkb rows keep NULLs; rings too
-    degenerate to sample (RingSamplingError) keep NULL sample coords
-    but real winding/area.  Per-batch WKB factorization as in
-    :func:`with_ring_sample`."""
+    sample point (sf.py:921-968).  NULL wkb rows keep NULLs, as does a
+    valid WKB with ZERO rings (POLYGON EMPTY — no winding or area to
+    classify; downstream row accounting surfaces both as orphans);
+    rings too degenerate to sample (RingSamplingError) keep NULL sample
+    coords but real winding/area.  One Arrow pass with per-batch WKB
+    factorization: a polygon repeated across rows computes once.
+
+    ``wkb_cw_only=True`` additionally NULLs the ``wkb`` column for
+    non-CW (hole/unclassifiable) rows INSIDE the same Arrow pass — for
+    callers about to cache the result that only consume exterior
+    geometry downstream, this bounds the cached footprint without an
+    extra projection between the Arrow node and the cache (a row-level
+    Project there costs a measurable columnar->row->columnar round
+    trip)."""
     from pyspark.sql.types import BooleanType  # noqa: PLC0415
 
     from pyshp_spark.kernels.rings import (  # noqa: PLC0415
@@ -252,26 +234,36 @@ def with_ring_stats(
             StructField(sy, DoubleType()),
         ]
     )
+    null_stats = (None, None, None, None)
 
     def stats(batches):
         cache: dict[bytes, tuple] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # factorize codes NULL wkb as -1: those rows pass through
+            # with NULL outputs instead of being dropped
             codes, uniques = pd.factorize(pdf[wkb])
             vals = []
             for w in uniques:
                 b = bytes(w)
                 v = cache.get(b)
                 if v is None:
-                    ring = wkb_rings(b)[0]
-                    cw = is_cw(ring)
-                    a2 = abs(signed_area(ring, fast=True))
-                    try:
-                        px, py = ring_sample(ring, ccw=not cw)
-                    except RingSamplingError:
-                        px = py = None
-                    v = (cw, a2, px, py)
+                    rings = wkb_rings(b)
+                    if not rings:
+                        v = null_stats
+                    else:
+                        # match the ring's own winding: arbitrary WKB
+                        # may carry a CCW first ring, and the kernel's
+                        # triplet orientation gate needs the truth
+                        ring = rings[0]
+                        cw = is_cw(ring)
+                        a2 = abs(signed_area(ring, fast=True))
+                        try:
+                            px, py = ring_sample(ring, ccw=not cw)
+                        except RingSamplingError:
+                            px = py = None
+                        v = (cw, a2, px, py)
                     cache[b] = v
                 vals.append(v)
             pdf = pdf.copy()
@@ -279,6 +271,12 @@ def with_ring_stats(
             pdf[area2_col] = [vals[c][1] if c >= 0 else None for c in codes]
             pdf[sx] = [vals[c][2] if c >= 0 else None for c in codes]
             pdf[sy] = [vals[c][3] if c >= 0 else None for c in codes]
+            if wkb_cw_only:
+                col = pdf[wkb]
+                pdf[wkb] = [
+                    col.iat[i] if c >= 0 and vals[c][0] else None
+                    for i, c in enumerate(codes)
+                ]
             yield pdf
 
     return df.mapInPandas(stats, schema=out_schema)

@@ -314,7 +314,7 @@ def _cached_polygon_index(polygons: DataFrame, grid: Grid,
 
 
 def _parse_polygons_distributed(
-    polygons: DataFrame, grid: Grid, gcols: list[str]
+    polygons: DataFrame, grid: Grid
 ) -> pd.DataFrame:
     """Executor-side WKB -> flat-buffer parse for the broadcast index
     build: each polygon row comes back as (bbox, attrs, edge-bytes,
@@ -434,7 +434,7 @@ class BroadcastPolygonIndex:
         spark = polygons.sparkSession
         self.spark = spark
         pol_pdf = _parse_polygons_distributed(
-            polygons.select(*POLYGON_META_COLS, *self.gcols), grid, self.gcols
+            polygons.select(*POLYGON_META_COLS, *self.gcols), grid
         )
         n = len(pol_pdf)
         # the executors already parsed WKB -> (E,4) float64 edge rows and
@@ -1267,7 +1267,15 @@ def assign_holes_distributed(
     from pyshp_spark.operators.geometry import with_ring_stats  # noqa: PLC0415
 
     idx_type = rings.schema[ring_idx].dataType
-    stats = with_ring_stats(rings).persist()
+    # the persisted stats frame keeps wkb ONLY for exterior rings (the
+    # sole downstream consumer is the exterior refine): holes' geometry
+    # bytes — the bulk of a coastline-scale layer — are NULLed inside
+    # the stats Arrow pass itself (wkb_cw_only), so the session-lifetime
+    # footprint is exterior blobs + task-sized per-ring stats, never
+    # the whole corpus, and no extra projection sits between the Arrow
+    # node and the cache.  One persist, one evaluation of the (possibly
+    # expensive) rings subtree.
+    stats = with_ring_stats(rings, wkb_cw_only=True).persist()
     exts = stats.where(F.col("is_cw"))
     holes = stats.where(~F.col("is_cw"))
     # NULL wkb -> NULL is_cw matches NEITHER filter above: surface those

@@ -111,11 +111,18 @@ def save_zorder_layout(
     # left/below the grid origin yield negative col/row that the 32-bit
     # mask would wrap, scrambling Z-order locality (layout quality, not
     # data loss).  Clamp to morton's [0, 2^32) domain so out-of-grid
-    # rows cluster at the nearest grid edge instead of wrapping.
+    # rows cluster at the nearest grid edge instead of wrapping — but
+    # only for NON-NULL coordinates: least/greatest skip NULLs, so an
+    # unguarded clamp would fabricate a max-corner code for NULL-coord
+    # rows instead of propagating NULL (they belong in the NULL range
+    # partition, and a persisted morton_col must not invent a key).
     hi = F.lit((1 << 32) - 1)
     col = F.greatest(F.lit(0), F.least(g.col_expr(F.col(x)), hi))
     row = F.greatest(F.lit(0), F.least(g.row_expr(F.col(y)), hi))
-    out = df.withColumn(morton_col, morton_expr(col, row))
+    code = F.when(
+        F.col(x).isNull() | F.col(y).isNull(), F.lit(None)
+    ).otherwise(morton_expr(col, row))
+    out = df.withColumn(morton_col, code)
     parts = [F.col(morton_col)]
     ranged = (
         out.repartitionByRange(num_files, *parts)

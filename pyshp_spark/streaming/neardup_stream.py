@@ -124,7 +124,11 @@ def _read_state(spark: SparkSession, path: str, batch_id: int) -> DataFrame | No
     if not os.path.isdir(path):
         return None
     try:
-        df = spark.read.parquet(path)
+        # mergeSchema: a store can mix partitions written before keeper
+        # tracking with partitions after (or across track_dropped
+        # settings); plain schema inference samples ONE file and would
+        # make the keeper column randomly visible or invisible
+        df = spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException as e:
         # only "dir exists but holds no readable parquet yet" (a first
         # batch's own half-write) means an empty corpus.  Any OTHER
@@ -367,9 +371,13 @@ def neardup_filter_batch(
         # tracked dropped member forwards to its accepted
         # representative; stores written before keeper tracking (or
         # with track_dropped=False) hold accepted docs only, each its
-        # own keeper
+        # own keeper.  Rows from keeper-less legacy partitions read
+        # keeper=NULL under mergeSchema — coalesce to the doc's own id
+        # (those partitions hold accepted docs only) so __ck is never
+        # NULL and min() can't pick a dangling pointer.
         rep_col = (
-            F.col("keeper") if "keeper" in corpus_texts.columns
+            F.coalesce(F.col("keeper"), F.col("id"))
+            if "keeper" in corpus_texts.columns
             else F.col("id")
         )
         dup_hits = (
@@ -387,10 +395,16 @@ def neardup_filter_batch(
             .where(F.round(verify("__ta", "__tb"), 6) >= threshold)
             .select("__nid", "__ck")
         )
+        # pin the verify result: cluster_rep feeds TWO actions (the
+        # survivors checkpoint's anti-join and, under track_dropped,
+        # the texts state write via `mapping`) — without this the
+        # dominant per-batch cost (pairwise Jaccard against corpus
+        # texts) runs twice.  It is tiny: one row per hit cluster.
         cluster_rep = (
             keepers.join(dup_hits, on=F.col(key) == F.col("__nid"))
             .groupBy("keeper_id")
             .agg(F.min("__ck").alias("__rep"))
+            .localCheckpoint(eager=True)
         )
         keep = keep.join(
             cluster_rep.select("keeper_id"), on="keeper_id", how="left_anti"

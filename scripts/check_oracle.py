@@ -46,8 +46,13 @@ ROTATE_LOG = os.path.join(
 )
 
 
-def _rotate_slice(names: list[str], n: int) -> list[str]:
-    """The next n query names, cyclically, from a persisted cursor."""
+def _rotate_slice(names: list[str], n: int) -> tuple[list[str], int]:
+    """The next n query names, cyclically, from a persisted cursor.
+
+    Returns (slice, next_cursor).  The advanced cursor is NOT written
+    here — the caller commits it only after the slice actually ran, so
+    a crashed rotation re-runs its slice instead of silently dropping
+    those queries from the sweep's coverage guarantee."""
     try:
         with open(ROTATE_STATE) as f:
             off = int(f.read().strip() or 0)
@@ -55,9 +60,7 @@ def _rotate_slice(names: list[str], n: int) -> list[str]:
         off = 0
     off %= max(len(names), 1)
     picked = [names[(off + i) % len(names)] for i in range(min(n, len(names)))]
-    with open(ROTATE_STATE, "w") as f:
-        f.write(str((off + len(picked)) % len(names)))
-    return picked
+    return picked, (off + len(picked)) % len(names)
 
 
 def main():
@@ -83,8 +86,10 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    next_cursor = None
     if rotate_n:
-        only = set(_rotate_slice(sorted(qs), rotate_n))
+        picked, next_cursor = _rotate_slice(sorted(qs), rotate_n)
+        only = set(picked)
         print(f"rotation slice ({rotate_n}): {sorted(only)}")
     failures = 0
     ran = []
@@ -122,6 +127,9 @@ def main():
                 print("   only-duck :", list(sb - sa)[:3])
     spark.stop()
     if rotate_n:
+        # commit the cursor only now that the slice ran and is logged
+        with open(ROTATE_STATE, "w") as f:
+            f.write(str(next_cursor))
         with open(ROTATE_LOG, "a") as f:
             f.write(json.dumps({
                 "ts": int(time.time()),
