@@ -180,10 +180,18 @@ class TestParallelStream:
         # .shp LAST: discovery keys on *.shp and each file is picked up
         # exactly once, so a micro-batch landing between the .shp and
         # .dbf writes would permanently capture V as NULL (observed as
-        # a flake under heavy host contention)
-        for ext, data in (("dbf", dbf), ("shx", shx), ("shp", shp)):
+        # a flake under heavy host contention).  The .shp itself lands
+        # via rename (POSIX-atomic), closing the remaining window where
+        # discovery globs a HALF-WRITTEN .shp mid-write and the parse
+        # error kills the query — the same write-then-rename convention
+        # Spark's own FileStreamSource expects of landing directories.
+        for ext, data in (("dbf", dbf), ("shx", shx)):
             with open(d / f"{base}.{ext}", "wb") as f:
                 f.write(data)
+        tmp = d / f".{base}.shp.tmp"
+        with open(tmp, "wb") as f:
+            f.write(shp)
+        os.rename(tmp, d / f"{base}.shp")
 
     @pytest.mark.parametrize("parallel", ["true", "false"])
     def test_stream_both_variants_pick_up_files_once(
@@ -230,9 +238,12 @@ class TestParallelStream:
             # new file WITHOUT a sibling .dbf: V must come back null
             # instead of killing the query (round-2 ADVICE)
             shp, shx = write_shp([(1, (9.0, 9.0), None, None, None)])
-            for ext, data in (("shx", shx), ("shp", shp)):
-                with open(d / f"f2.{ext}", "wb") as f:
-                    f.write(data)
+            with open(d / "f2.shx", "wb") as f:
+                f.write(shx)
+            # .shp via rename: atomic landing (see _mk_file)
+            with open(d / ".f2.shp.tmp", "wb") as f:
+                f.write(shp)
+            os.rename(d / ".f2.shp.tmp", d / "f2.shp")
             assert _wait_rows(spark, name, 2) == 2
             assert q.exception() is None
             rows = {r.V for r in spark.sql(f"SELECT V FROM {name}").collect()}
