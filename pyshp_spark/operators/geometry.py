@@ -182,7 +182,13 @@ def with_ring_sample(
     machinery) and drops the winding/area columns; like it, a ring-less
     (POLYGON EMPTY) or too-degenerate-to-sample ring yields NULL
     coords rather than aborting the job."""
-    cw_tmp, a2_tmp = f"__{sx}_cw", f"__{sx}_a2"
+    # scratch names guaranteed absent from the caller's frame: a fixed
+    # name could collide with (and then drop) a user column
+    taken = set(df.columns) | {sx, sy}
+    cw_tmp, a2_tmp = "__rs_cw", "__rs_a2"
+    while cw_tmp in taken or a2_tmp in taken:
+        cw_tmp += "_"
+        a2_tmp += "_"
     return with_ring_stats(
         df, wkb=wkb, is_cw_col=cw_tmp, area2_col=a2_tmp, sx=sx, sy=sy
     ).drop(cw_tmp, a2_tmp)
@@ -225,8 +231,17 @@ def with_ring_stats(
     )
     from pyshp_spark.kernels.wkb import wkb_rings  # noqa: PLC0415
 
+    in_fields = [
+        # wkb_cw_only writes NULLs into the wkb column: the declared
+        # field must become nullable or the cached schema would lie
+        # (null-unsafe codegen / constant-folded IS NOT NULL)
+        StructField(f.name, f.dataType, True)
+        if wkb_cw_only and f.name == wkb and not f.nullable
+        else f
+        for f in df.schema.fields
+    ]
     out_schema = StructType(
-        list(df.schema.fields)
+        in_fields
         + [
             StructField(is_cw_col, BooleanType()),
             StructField(area2_col, DoubleType()),

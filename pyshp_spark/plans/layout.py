@@ -119,8 +119,16 @@ def save_zorder_layout(
     hi = F.lit((1 << 32) - 1)
     col = F.greatest(F.lit(0), F.least(g.col_expr(F.col(x)), hi))
     row = F.greatest(F.lit(0), F.least(g.row_expr(F.col(y)), hi))
+
+    def _missing(c):
+        # NaN is this engine's ingest encoding for missing geometry
+        # (NULL shapes), and isNull() does not catch it: floor(NaN/dx)
+        # cast to long would fabricate a grid-origin key (or throw
+        # under ANSI mode)
+        return F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
+
     code = F.when(
-        F.col(x).isNull() | F.col(y).isNull(), F.lit(None)
+        _missing(x) | _missing(y), F.lit(None)
     ).otherwise(morton_expr(col, row))
     out = df.withColumn(morton_col, code)
     parts = [F.col(morton_col)]

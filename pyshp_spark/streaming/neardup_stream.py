@@ -118,17 +118,25 @@ def _error_condition(e) -> str:
     return ""
 
 
-def _read_state(spark: SparkSession, path: str, batch_id: int) -> DataFrame | None:
+def _read_state(
+    spark: SparkSession, path: str, batch_id: int,
+    merge_schema: bool = False,
+) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     if not os.path.isdir(path):
         return None
     try:
-        # mergeSchema: a store can mix partitions written before keeper
-        # tracking with partitions after (or across track_dropped
-        # settings); plain schema inference samples ONE file and would
-        # make the keeper column randomly visible or invisible
-        df = spark.read.option("mergeSchema", "true").parquet(path)
+        # merge_schema (texts store only): a store can mix partitions
+        # written before keeper tracking with partitions after (or
+        # across track_dropped settings); plain schema inference
+        # samples ONE file and would make the keeper column randomly
+        # visible or invisible.  The bands store's schema never varies,
+        # so it skips the per-batch all-file footer-merge job.
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(path)
     except AnalysisException as e:
         # only "dir exists but holds no readable parquet yet" (a first
         # batch's own half-write) means an empty corpus.  Any OTHER
@@ -228,8 +236,12 @@ def _compact_state(
         if os.path.isdir(tmp):
             # half-write from a crashed attempt; sources are intact
             shutil.rmtree(tmp)
+        # mergeSchema: compaction REWRITES the store from this read —
+        # a single-file schema sample over mixed keeper-less/keeper-full
+        # partitions could consolidate WITHOUT the keeper column,
+        # permanently erasing the member→keeper pointers
         df = (
-            spark.read.parquet(path)
+            spark.read.option("mergeSchema", "true").parquet(path)
             .where(F.col("batch_id") < F.lit(batch_id))
             .dropDuplicates(key_cols)
             .drop("batch_id")
@@ -327,7 +339,8 @@ def neardup_filter_batch(
         spark, os.path.join(state_dir, _BANDS_SUB), batch_id
     )
     corpus_texts = _read_state(
-        spark, os.path.join(state_dir, _TEXTS_SUB), batch_id
+        spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
+        merge_schema=True,
     )
     if (corpus_bands is None) != (corpus_texts is None):
         # one store readable, the other absent.  Legitimate only when

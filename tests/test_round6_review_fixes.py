@@ -94,15 +94,17 @@ def test_zorder_null_coords_keep_null_morton(spark, tmp_path):
     from pyshp_spark.plans.layout import save_zorder_layout
 
     rows = [Row(rid=1, x=1.0, y=1.0), Row(rid=2, x=None, y=5.0),
-            Row(rid=3, x=9.0, y=None), Row(rid=4, x=-50.0, y=-50.0)]
+            Row(rid=3, x=9.0, y=None), Row(rid=4, x=-50.0, y=-50.0),
+            # NaN is the ingest encoding for missing geometry and
+            # bypasses isNull(): it must not fabricate a grid-origin key
+            Row(rid=5, x=float("nan"), y=2.0)]
     path = str(tmp_path / "zorder_null")
     save_zorder_layout(spark.createDataFrame(rows), path,
                        num_files=2, keep_morton=True)
     back = {r["rid"]: r["__z"] for r in spark.read.parquet(path).collect()}
-    assert back[2] is None and back[3] is None
+    assert back[2] is None and back[3] is None and back[5] is None
     # non-NULL rows still get real (clamped, non-fabricated) codes
     assert back[1] is not None and back[4] is not None
-    assert back[2] != (1 << 64) - 1
 
 
 class TestMixedSchemaKeeperResolution:
@@ -159,6 +161,83 @@ class TestMixedSchemaKeeperResolution:
         # legacy row 1 has no keeper (NULL); 2 and 3 both resolve to
         # the ACCEPTED representative 1 — never to themselves / NULL
         assert keeper[2] == 1 and keeper[3] == 1
+
+    def test_compaction_preserves_keeper_on_mixed_store(
+        self, spark, tmp_path
+    ):
+        """Compaction rewrites the store from a full read: on a store
+        mixing keeper-less legacy partitions with keeper-full ones it
+        must consolidate WITH the merged schema, or every keeper
+        pointer is silently erased."""
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import (
+            neardup_filter_batch,
+        )
+
+        a, b, c = self._texts()
+        state = str(tmp_path / "compact_keeper")
+        neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [1], "text": [a]})),
+            state, batch_id=0, track_dropped=False, compact_every=0,
+        )
+        neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [2], "text": [b]})),
+            state, batch_id=1, compact_every=0,
+        )
+        # batch 2 forces compaction of the mixed store FIRST (empty
+        # batch content; compact_every=1 compacts every batch)
+        neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [99], "text": ["totally unrelated words"]})),
+            state, batch_id=2, compact_every=1,
+        )
+        texts = spark.read.option("mergeSchema", "true").parquet(
+            f"{state}/texts"
+        )
+        assert "keeper" in texts.columns  # survived the rewrite
+        keeper = {r.id: r.keeper
+                  for r in texts.select("id", "keeper").collect()}
+        assert keeper[2] == 1  # B still points at accepted A
+        # and a post-compaction arrival chaining through A still maps
+        third = neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [3], "text": [c]})),
+            state, batch_id=3, compact_every=0,
+        )
+        assert third.count() == 0
+
+
+class TestRingSampleEdges:
+    def test_scratch_names_avoid_collision(self, spark):
+        df = spark.createDataFrame([
+            Row(pid=1, wkb=bytearray(wkb_polygon([_ring(2.0, 2.0)])),
+                __rs_cw="user-owned"),
+        ])
+        out = with_ring_sample(df)
+        assert set(out.columns) == {"pid", "wkb", "__rs_cw", "sx", "sy"}
+        r = out.collect()[0]
+        assert r["__rs_cw"] == "user-owned" and r["sx"] is not None
+
+    def test_wkb_cw_only_forces_nullable_schema(self, spark):
+        from pyspark.sql.types import (
+            BinaryType, IntegerType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("pid", IntegerType(), False),
+            StructField("wkb", BinaryType(), False),  # non-nullable in
+        ])
+        df = spark.createDataFrame(
+            [(1, bytes(wkb_polygon([_ring(0.0, 0.0, 1.0, cw=False)])))],
+            schema=schema,
+        )
+        out = with_ring_stats(df, wkb_cw_only=True)
+        assert out.schema["wkb"].nullable  # schema must not lie
+        row = out.collect()[0]
+        assert row["wkb"] is None and row["is_cw"] is False
 
 
 def test_rotate_slice_does_not_persist_cursor(tmp_path, monkeypatch):
