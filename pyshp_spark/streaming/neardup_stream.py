@@ -120,23 +120,34 @@ def _error_condition(e) -> str:
 
 def _read_state(
     spark: SparkSession, path: str, batch_id: int,
-    merge_schema: bool = False,
+    schema=None,
 ) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     if not os.path.isdir(path):
         return None
     try:
-        # merge_schema (texts store only): a store can mix partitions
+        # explicit schema (texts store): a store can mix partitions
         # written before keeper tracking with partitions after (or
         # across track_dropped settings); plain schema inference
         # samples ONE file and would make the keeper column randomly
-        # visible or invisible.  The bands store's schema never varies,
-        # so it skips the per-batch all-file footer-merge job.
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(path)
+        # visible or invisible, and mergeSchema re-reads EVERY file
+        # footer per micro-batch — measured as per-batch wall ramping
+        # linearly with state file count until compaction.  A declared
+        # schema gets the merged view for free: parquet reads NULL-fill
+        # columns a file lacks.  The bands store's schema never varies,
+        # so it stays on single-file inference.
+        if schema is not None:
+            # mirror inference's "dir exists but holds no partitions
+            # yet" -> empty corpus (an explicit schema would otherwise
+            # happily return an empty frame for a half-created store)
+            if not any(
+                d.startswith("batch_id=") for d in os.listdir(path)
+            ):
+                return None
+            df = spark.read.schema(schema).parquet(path)
+        else:
+            df = spark.read.parquet(path)
     except AnalysisException as e:
         # only "dir exists but holds no readable parquet yet" (a first
         # batch's own half-write) means an empty corpus.  Any OTHER
@@ -338,9 +349,19 @@ def neardup_filter_batch(
     corpus_bands = _read_state(
         spark, os.path.join(state_dir, _BANDS_SUB), batch_id
     )
+    from pyspark.sql.types import LongType, StructField, StructType  # noqa: PLC0415
+
+    key_t = b.schema[key].dataType
+    texts_schema = StructType([
+        StructField("id", key_t),
+        StructField("text", b.schema[text].dataType),
+        StructField("keeper", key_t),  # NULL-filled in legacy files
+        StructField("batch_id", LongType()),   # partition dirs
+        StructField("__bucket", LongType()),
+    ])
     corpus_texts = _read_state(
         spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
-        merge_schema=True,
+        schema=texts_schema,
     )
     if (corpus_bands is None) != (corpus_texts is None):
         # one store readable, the other absent.  Legitimate only when
