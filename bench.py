@@ -411,7 +411,13 @@ def stream_bench(n_batches=20, batch_rows=350, dup_frac=0.1, compact_every=16):
             "walls_sec": walls,
             "kept_per_batch": kept_counts,
             "state_parquet_files": file_counts,
-            "first_half_mean_sec": round(mean(walls[1:half]), 3),
+            # first_half is the TRUE mean; the warmup-excluded variant
+            # is reported under its own honest name (batch 0 pays
+            # Spark/Arrow warmup, but silently dropping it from one
+            # half would skew the flatness comparison)
+            "first_half_mean_sec": round(mean(walls[:half]), 3),
+            "first_half_mean_excl_warmup_sec": round(mean(walls[1:half]), 3),
+            "warmup_batch_sec": walls[0],
             "second_half_mean_sec": round(mean(walls[half:]), 3),
             "corpus_final_rows": sum(kept_counts),
             "batch_rows": batch_rows,

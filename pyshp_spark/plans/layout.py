@@ -75,8 +75,23 @@ def explain_has_exchange(df: DataFrame) -> bool:
 def with_cell(
     df: DataFrame, grid, x: str = "x", y: str = "y", cell_col: str = "cell"
 ) -> DataFrame:
-    """Attach the grid cell id (pure Column math) — the bucketing key."""
-    return df.withColumn(cell_col, grid.cell_expr(F.col(x), F.col(y)))
+    """Attach the grid cell id (pure Column math) — the bucketing key.
+
+    NaN coordinates (ingest's missing-geometry encoding) yield a NULL
+    cell like NULL coordinates do: floor(NaN) cast to long fabricates
+    a real id, and a PERSISTED bucketing key must not invent one.
+    Grid.cell_expr itself keeps the raw cast semantics — its transient
+    join-path uses eliminate NaN candidates in the exact refine, and
+    the SQL mirror (cell_sql) must stay formula-identical for the
+    oracle gates."""
+    raw = grid.cell_expr(F.col(x), F.col(y))
+    missing = (
+        F.col(x).isNull() | F.col(y).isNull()
+        | F.isnan(F.col(x).cast("double")) | F.isnan(F.col(y).cast("double"))
+    )
+    return df.withColumn(
+        cell_col, F.when(missing, F.lit(None)).otherwise(raw)
+    )
 
 
 def save_zorder_layout(

@@ -77,6 +77,7 @@ granularity.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -92,6 +93,7 @@ from pyshp_spark.operators.dedup import (
 
 _BANDS_SUB = "bands"
 _TEXTS_SUB = "texts"
+_TEXTS_SCHEMA_FILE = "_texts_schema.json"
 
 #: hash buckets per state store: the partition-pruning granularity.
 #: Listing cost after compaction is O(_NUM_BUCKETS); a probe that
@@ -101,6 +103,43 @@ _NUM_BUCKETS = 32
 
 def _bucket_of(*cols) -> F.Column:
     return F.pmod(F.xxhash64(*cols), F.lit(_NUM_BUCKETS))
+
+
+def _pinned_texts_schema(state_dir: str, b: DataFrame, key: str, text: str):
+    """The texts store's reader schema, pinned to the STORE, not the
+    caller: the first batch that touches a store writes the schema
+    (derived from its key/text column types, plus the keeper and
+    partition columns) to ``_texts_schema.json``; every later batch —
+    including runs whose incoming frame carries a drifted key type —
+    reads with the pinned one, so the store stays self-describing
+    without mergeSchema's per-batch all-footer scan.  Legacy files
+    lacking the keeper column NULL-fill it (parquet schema evolution).
+    The pin is written atomically (tmp + rename) and is idempotent
+    under batch retry."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType, StructField, StructType,
+    )
+
+    path = os.path.join(state_dir, _TEXTS_SCHEMA_FILE)
+    try:
+        with open(path) as f:
+            return StructType.fromJson(json.load(f))
+    except (OSError, ValueError, KeyError):
+        pass
+    key_t = b.schema[key].dataType
+    schema = StructType([
+        StructField("id", key_t),
+        StructField("text", b.schema[text].dataType),
+        StructField("keeper", key_t),  # NULL-filled in legacy files
+        StructField("batch_id", LongType()),   # partition dirs
+        StructField("__bucket", LongType()),
+    ])
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(schema.jsonValue(), f)
+    os.replace(tmp, path)
+    return schema
 
 
 def _error_condition(e) -> str:
@@ -326,7 +365,18 @@ def neardup_filter_batch(
             spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
             key_cols=["id"], sort_cols=["id"],
         )
-    b = batch_df.dropDuplicates([key]).localCheckpoint(eager=True)
+    texts_schema = _pinned_texts_schema(state_dir, batch_df, key, text)
+    b = batch_df
+    pinned_t = texts_schema["id"].dataType
+    if b.schema[key].dataType != pinned_t:
+        # normalize a drifted key type to the STORE's pinned type
+        # before any state write or corpus join: mixing int32/int64
+        # files inside one store would break its single-footer
+        # inference reads.  (Widening is the sane direction; a
+        # narrowing drift with out-of-range ids is caller error.)
+        # The returned survivors then carry the pinned key type.
+        b = b.withColumn(key, F.col(key).cast(pinned_t))
+    b = b.dropDuplicates([key]).localCheckpoint(eager=True)
 
     # signatures are the dominant per-batch compute: materialize them
     # ONCE and feed both the intra-batch pair pipeline and the corpus
@@ -349,16 +399,6 @@ def neardup_filter_batch(
     corpus_bands = _read_state(
         spark, os.path.join(state_dir, _BANDS_SUB), batch_id
     )
-    from pyspark.sql.types import LongType, StructField, StructType  # noqa: PLC0415
-
-    key_t = b.schema[key].dataType
-    texts_schema = StructType([
-        StructField("id", key_t),
-        StructField("text", b.schema[text].dataType),
-        StructField("keeper", key_t),  # NULL-filled in legacy files
-        StructField("batch_id", LongType()),   # partition dirs
-        StructField("__bucket", LongType()),
-    ])
     corpus_texts = _read_state(
         spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
         schema=texts_schema,
@@ -403,17 +443,13 @@ def neardup_filter_batch(
         verify = true_jaccard_udf(width)
         # a corpus hit resolves to the matched doc's OWN keeper: a
         # tracked dropped member forwards to its accepted
-        # representative; stores written before keeper tracking (or
-        # with track_dropped=False) hold accepted docs only, each its
-        # own keeper.  Rows from keeper-less legacy partitions read
-        # keeper=NULL under mergeSchema — coalesce to the doc's own id
-        # (those partitions hold accepted docs only) so __ck is never
-        # NULL and min() can't pick a dangling pointer.
-        rep_col = (
-            F.coalesce(F.col("keeper"), F.col("id"))
-            if "keeper" in corpus_texts.columns
-            else F.col("id")
-        )
+        # representative.  The pinned reader schema always declares
+        # keeper; rows from keeper-less legacy partitions (written
+        # before keeper tracking, or with track_dropped=False — both
+        # hold accepted docs only) read keeper=NULL and coalesce to
+        # the doc's own id, so __ck is never NULL and min() can't
+        # pick a dangling pointer.
+        rep_col = F.coalesce(F.col("keeper"), F.col("id"))
         dup_hits = (
             cand.join(
                 b.select(F.col(key).alias("__nid"), F.col(text).alias("__ta")),

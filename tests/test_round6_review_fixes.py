@@ -210,6 +210,47 @@ class TestMixedSchemaKeeperResolution:
         assert third.count() == 0
 
 
+class TestPinnedTextsSchema:
+    def test_key_type_drift_across_runs(self, spark, tmp_path):
+        """The texts reader schema is pinned to the STORE: a later run
+        whose batch frame carries a drifted key type (int32 vs the
+        store's int64) must still read the store and reject dups —
+        a batch-derived schema would throw a parquet type mismatch."""
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import (
+            _TEXTS_SCHEMA_FILE, neardup_filter_batch,
+        )
+
+        toks = [f"t{i}" for i in range(30)]
+        a = " ".join(toks)
+        b = " ".join([f"x{i}" for i in range(6)] + toks[6:])
+        state = str(tmp_path / "pinned_schema")
+        first = neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [1], "text": [a]})),  # int64 key
+            state, batch_id=0,
+        )
+        assert first.count() == 1
+        assert os.path.exists(os.path.join(state, _TEXTS_SCHEMA_FILE))
+        drifted = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2], "text": [b]})
+        ).withColumn("doc_id", F.col("doc_id").cast("int"))
+        second = neardup_filter_batch(drifted, state, batch_id=1)
+        assert second.count() == 0  # B near-dups A across the drift
+
+
+def test_with_cell_nan_coords_yield_null_cell(spark):
+    from pyshp_spark.functions.cells import GRID
+    from pyshp_spark.plans.layout import with_cell
+
+    rows = [Row(rid=1, x=1.0, y=1.0), Row(rid=2, x=float("nan"), y=2.0),
+            Row(rid=3, x=None, y=2.0)]
+    out = {r["rid"]: r["cell"]
+           for r in with_cell(spark.createDataFrame(rows), GRID).collect()}
+    assert out[2] is None and out[3] is None and out[1] is not None
+
+
 class TestRingSampleEdges:
     def test_scratch_names_avoid_collision(self, spark):
         df = spark.createDataFrame([
