@@ -106,9 +106,32 @@ def cell_id_sql(x: str, y: str, grid: Grid = GRID) -> str:
     return grid.cell_sql(x, y)
 
 
+def missing_coord_expr(*cols: str) -> Column:
+    """TRUE when any coordinate column is NULL or NaN — the engine's
+    two encodings for missing geometry.  isNull() alone misses NaN,
+    and floor(NaN) cast to long fabricates a real value (0 non-ANSI,
+    an error under ANSI); any PERSISTED key derived from coordinates
+    must gate on this.  Shared by the cell and Z-order layout writers
+    (plans/layout.py) and :func:`with_point_cell`."""
+    cond = None
+    for c in cols:
+        this = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
+        cond = this if cond is None else (cond | this)
+    return cond
+
+
 def with_point_cell(df: DataFrame, x: str, y: str, grid: Grid = GRID,
                     out: str = "cell") -> DataFrame:
-    return df.withColumn(out, grid.cell_expr(F.col(x), F.col(y)))
+    """Attach the grid cell id; missing (NULL/NaN) coordinates yield a
+    NULL cell rather than a fabricated one.  The raw formula stays in
+    Grid.cell_expr/cell_sql — the SQL mirror cannot even express the
+    unguarded NaN behavior (CAST(NaN AS BIGINT) errors in ANSI SQL)."""
+    return df.withColumn(
+        out,
+        F.when(missing_coord_expr(x, y), F.lit(None)).otherwise(
+            grid.cell_expr(F.col(x), F.col(y))
+        ),
+    )
 
 
 def cell_cover_udf(grid: Grid = GRID):

@@ -84,13 +84,12 @@ def with_cell(
     join-path uses eliminate NaN candidates in the exact refine, and
     the SQL mirror (cell_sql) must stay formula-identical for the
     oracle gates."""
+    from pyshp_spark.functions.cells import missing_coord_expr
+
     raw = grid.cell_expr(F.col(x), F.col(y))
-    missing = (
-        F.col(x).isNull() | F.col(y).isNull()
-        | F.isnan(F.col(x).cast("double")) | F.isnan(F.col(y).cast("double"))
-    )
     return df.withColumn(
-        cell_col, F.when(missing, F.lit(None)).otherwise(raw)
+        cell_col,
+        F.when(missing_coord_expr(x, y), F.lit(None)).otherwise(raw),
     )
 
 
@@ -119,7 +118,9 @@ def save_zorder_layout(
     ``WHERE __z BETWEEN ...`` ranges explicitly; the same pruning works
     implicitly through the x/y min-max stats either way, since sorting
     by Z also clusters x and y)."""
-    from pyshp_spark.functions.cells import GRID, morton_expr
+    from pyshp_spark.functions.cells import (
+        GRID, missing_coord_expr, morton_expr,
+    )
 
     g = grid or GRID
     # morton_expr is documented for non-negative inputs: coordinates
@@ -134,16 +135,8 @@ def save_zorder_layout(
     hi = F.lit((1 << 32) - 1)
     col = F.greatest(F.lit(0), F.least(g.col_expr(F.col(x)), hi))
     row = F.greatest(F.lit(0), F.least(g.row_expr(F.col(y)), hi))
-
-    def _missing(c):
-        # NaN is this engine's ingest encoding for missing geometry
-        # (NULL shapes), and isNull() does not catch it: floor(NaN/dx)
-        # cast to long would fabricate a grid-origin key (or throw
-        # under ANSI mode)
-        return F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
-
     code = F.when(
-        _missing(x) | _missing(y), F.lit(None)
+        missing_coord_expr(x, y), F.lit(None)
     ).otherwise(morton_expr(col, row))
     out = df.withColumn(morton_col, code)
     parts = [F.col(morton_col)]

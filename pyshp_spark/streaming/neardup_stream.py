@@ -105,17 +105,36 @@ def _bucket_of(*cols) -> F.Column:
     return F.pmod(F.xxhash64(*cols), F.lit(_NUM_BUCKETS))
 
 
-def _pinned_texts_schema(state_dir: str, b: DataFrame, key: str, text: str):
+# lossless automatic widenings for a drifted batch column vs the
+# store's pinned type; anything else fails loudly (a narrowing cast
+# would silently wrap ids, an un-castable type would NULL them out)
+_INT_WIDTH = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _is_safe_widening(src, dst) -> bool:
+    s, d = src.typeName(), dst.typeName()
+    if s in _INT_WIDTH and d in _INT_WIDTH:
+        return _INT_WIDTH[s] <= _INT_WIDTH[d]
+    return (s, d) == ("float", "double")
+
+
+def _pinned_texts_schema(
+    spark: SparkSession, state_dir: str, b: DataFrame, key: str, text: str
+):
     """The texts store's reader schema, pinned to the STORE, not the
-    caller: the first batch that touches a store writes the schema
-    (derived from its key/text column types, plus the keeper and
-    partition columns) to ``_texts_schema.json``; every later batch —
-    including runs whose incoming frame carries a drifted key type —
-    reads with the pinned one, so the store stays self-describing
+    caller: ``_texts_schema.json`` under ``state_dir`` holds it; every
+    batch reads with the pinned one, so the store stays self-describing
     without mergeSchema's per-batch all-footer scan.  Legacy files
     lacking the keeper column NULL-fill it (parquet schema evolution).
-    The pin is written atomically (tmp + rename) and is idempotent
-    under batch retry."""
+
+    When the pin is absent (a pre-pin store, or a deleted/corrupt
+    file) but store DATA exists, the pin is re-derived from the
+    store's own merged footers — a one-time scan, never from the
+    current batch, whose types may be exactly the drift the pin
+    exists to survive.  Only a genuinely fresh store pins from the
+    first batch's types.  The pin is written atomically (tmp +
+    rename) and is idempotent under batch retry."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
     from pyspark.sql.types import (  # noqa: PLC0415
         LongType, StructField, StructType,
     )
@@ -126,11 +145,26 @@ def _pinned_texts_schema(state_dir: str, b: DataFrame, key: str, text: str):
             return StructType.fromJson(json.load(f))
     except (OSError, ValueError, KeyError):
         pass
-    key_t = b.schema[key].dataType
+    id_t = text_t = None
+    texts_path = os.path.join(state_dir, _TEXTS_SUB)
+    if os.path.isdir(texts_path) and any(
+        d.startswith("batch_id=") for d in os.listdir(texts_path)
+    ):
+        try:
+            store = spark.read.option("mergeSchema", "true").parquet(
+                texts_path
+            )
+            id_t = store.schema["id"].dataType
+            text_t = store.schema["text"].dataType
+        except (AnalysisException, KeyError):
+            pass  # half-written store: fall through to batch types
+    if id_t is None:
+        id_t = b.schema[key].dataType
+        text_t = b.schema[text].dataType
     schema = StructType([
-        StructField("id", key_t),
-        StructField("text", b.schema[text].dataType),
-        StructField("keeper", key_t),  # NULL-filled in legacy files
+        StructField("id", id_t),
+        StructField("text", text_t),
+        StructField("keeper", id_t),  # NULL-filled in legacy files
         StructField("batch_id", LongType()),   # partition dirs
         StructField("__bucket", LongType()),
     ])
@@ -365,17 +399,29 @@ def neardup_filter_batch(
             spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
             key_cols=["id"], sort_cols=["id"],
         )
-    texts_schema = _pinned_texts_schema(state_dir, batch_df, key, text)
+    texts_schema = _pinned_texts_schema(spark, state_dir, batch_df, key, text)
     b = batch_df
-    pinned_t = texts_schema["id"].dataType
-    if b.schema[key].dataType != pinned_t:
-        # normalize a drifted key type to the STORE's pinned type
-        # before any state write or corpus join: mixing int32/int64
-        # files inside one store would break its single-footer
-        # inference reads.  (Widening is the sane direction; a
-        # narrowing drift with out-of-range ids is caller error.)
-        # The returned survivors then carry the pinned key type.
-        b = b.withColumn(key, F.col(key).cast(pinned_t))
+    # normalize drifted key/text types to the STORE's pinned types
+    # before any state write or corpus join: mixing (say) int32 and
+    # int64 files inside one store would break its single-footer
+    # inference reads.  Only LOSSLESS widenings cast automatically —
+    # a narrowing or un-castable drift (which a cast would silently
+    # wrap or NULL out, vanishing whole batches) fails loudly.  The
+    # returned survivors then carry the pinned key type.
+    for col_name, pinned_f in ((key, texts_schema["id"]),
+                               (text, texts_schema["text"])):
+        have, want = b.schema[col_name].dataType, pinned_f.dataType
+        if have == want:
+            continue
+        if _is_safe_widening(have, want):
+            b = b.withColumn(col_name, F.col(col_name).cast(want))
+            continue
+        raise TypeError(
+            f"batch column {col_name!r} is {have.simpleString()} but the "
+            f"near-dup state under {state_dir} is pinned to "
+            f"{want.simpleString()}; only lossless widenings apply "
+            "automatically — fix the producer or migrate the store"
+        )
     b = b.dropDuplicates([key]).localCheckpoint(eager=True)
 
     # signatures are the dominant per-batch compute: materialize them

@@ -239,16 +239,74 @@ class TestPinnedTextsSchema:
         second = neardup_filter_batch(drifted, state, batch_id=1)
         assert second.count() == 0  # B near-dups A across the drift
 
+    def test_missing_pin_rederives_from_store_not_batch(
+        self, spark, tmp_path
+    ):
+        """A pre-pin (or pin-deleted) store with data re-derives the
+        pin from the store's own footers: pinning from the current
+        batch would let one drifted batch poison the store's types."""
+        import pandas as pd
+
+        from pyshp_spark.streaming.neardup_stream import (
+            _TEXTS_SCHEMA_FILE, neardup_filter_batch,
+        )
+
+        toks = [f"t{i}" for i in range(30)]
+        a = " ".join(toks)
+        b = " ".join([f"x{i}" for i in range(6)] + toks[6:])
+        state = str(tmp_path / "rederive_pin")
+        neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [1], "text": [a]})),  # store pins int64
+            state, batch_id=0,
+        )
+        os.remove(os.path.join(state, _TEXTS_SCHEMA_FILE))
+        drifted = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2], "text": [b]})
+        ).withColumn("doc_id", F.col("doc_id").cast("int"))
+        second = neardup_filter_batch(drifted, state, batch_id=1)
+        assert second.count() == 0
+        import json as _json
+        pin = _json.load(open(os.path.join(state, _TEXTS_SCHEMA_FILE)))
+        id_type = next(f["type"] for f in pin["fields"]
+                       if f["name"] == "id")
+        assert id_type == "long"  # the STORE's type, not the batch's
+
+    def test_incompatible_drift_fails_loudly(self, spark, tmp_path):
+        """A drift no lossless cast can absorb (string vs long) must
+        raise, not silently NULL-cast every key and vanish the batch."""
+        import pandas as pd
+        import pytest as _pytest
+
+        from pyshp_spark.streaming.neardup_stream import (
+            neardup_filter_batch,
+        )
+
+        state = str(tmp_path / "bad_drift")
+        neardup_filter_batch(
+            spark.createDataFrame(pd.DataFrame(
+                {"doc_id": [1], "text": ["alpha beta gamma delta"]})),
+            state, batch_id=0,
+        )
+        bad = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": ["doc-2"], "text": ["epsilon zeta eta theta"]}))
+        with _pytest.raises(TypeError, match="pinned to"):
+            neardup_filter_batch(bad, state, batch_id=1)
+
 
 def test_with_cell_nan_coords_yield_null_cell(spark):
-    from pyshp_spark.functions.cells import GRID
+    from pyshp_spark.functions.cells import GRID, with_point_cell
     from pyshp_spark.plans.layout import with_cell
 
     rows = [Row(rid=1, x=1.0, y=1.0), Row(rid=2, x=float("nan"), y=2.0),
             Row(rid=3, x=None, y=2.0)]
-    out = {r["rid"]: r["cell"]
-           for r in with_cell(spark.createDataFrame(rows), GRID).collect()}
+    df = spark.createDataFrame(rows)
+    out = {r["rid"]: r["cell"] for r in with_cell(df, GRID).collect()}
     assert out[2] is None and out[3] is None and out[1] is not None
+    # the public cells-module twin must agree on missing coordinates
+    out2 = {r["rid"]: r["cell"]
+            for r in with_point_cell(df, "x", "y").collect()}
+    assert out2[2] is None and out2[3] is None and out2[1] is not None
 
 
 class TestRingSampleEdges:
