@@ -113,6 +113,8 @@ def missing_coord_expr(*cols: str) -> Column:
     an error under ANSI); any PERSISTED key derived from coordinates
     must gate on this.  Shared by the cell and Z-order layout writers
     (plans/layout.py) and :func:`with_point_cell`."""
+    if not cols:
+        raise ValueError("missing_coord_expr needs at least one column")
     cond = None
     for c in cols:
         this = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))

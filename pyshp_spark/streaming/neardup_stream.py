@@ -119,7 +119,7 @@ def _is_safe_widening(src, dst) -> bool:
 
 
 def _pinned_texts_schema(
-    spark: SparkSession, state_dir: str, b: DataFrame, key: str, text: str
+    state_dir: str, b: DataFrame, key: str, text: str, batch_id: int
 ):
     """The texts store's reader schema, pinned to the STORE, not the
     caller: ``_texts_schema.json`` under ``state_dir`` holds it; every
@@ -128,13 +128,16 @@ def _pinned_texts_schema(
     lacking the keeper column NULL-fill it (parquet schema evolution).
 
     When the pin is absent (a pre-pin store, or a deleted/corrupt
-    file) but store DATA exists, the pin is re-derived from the
-    store's own merged footers — a one-time scan, never from the
-    current batch, whose types may be exactly the drift the pin
-    exists to survive.  Only a genuinely fresh store pins from the
-    first batch's types.  The pin is written atomically (tmp +
+    file) but COMMITTED store data exists, the pin is re-derived from
+    the committed partitions' merged footers — a one-time scan, never
+    from the current batch, whose types may be exactly the drift the
+    pin exists to survive, and never from this batch's own
+    uncommitted ``batch_id=N`` half-write (a crashed attempt's files
+    must not influence the pin).  Errors reading COMMITTED partitions
+    propagate — a store that cannot describe itself is corruption to
+    surface, not paper over.  Only a genuinely fresh store pins from
+    the first batch's types.  The pin is written atomically (tmp +
     rename) and is idempotent under batch retry."""
-    from pyspark.errors import AnalysisException  # noqa: PLC0415
     from pyspark.sql.types import (  # noqa: PLC0415
         LongType, StructField, StructType,
     )
@@ -147,17 +150,26 @@ def _pinned_texts_schema(
         pass
     id_t = text_t = None
     texts_path = os.path.join(state_dir, _TEXTS_SUB)
-    if os.path.isdir(texts_path) and any(
-        d.startswith("batch_id=") for d in os.listdir(texts_path)
-    ):
+    committed = []
+    if os.path.isdir(texts_path):
+        committed = [
+            os.path.join(texts_path, d)
+            for d in os.listdir(texts_path)
+            if d.startswith("batch_id=")
+            and int(d.split("=", 1)[1]) < batch_id
+        ]
+    if committed:
+        store = b.sparkSession.read.option("mergeSchema", "true").parquet(
+            *committed
+        )
         try:
-            store = spark.read.option("mergeSchema", "true").parquet(
-                texts_path
-            )
             id_t = store.schema["id"].dataType
             text_t = store.schema["text"].dataType
-        except (AnalysisException, KeyError):
-            pass  # half-written store: fall through to batch types
+        except KeyError as e:
+            raise ValueError(
+                f"texts store under {texts_path} lacks expected column "
+                f"{e}; cannot derive a reader schema from it"
+            ) from None
     if id_t is None:
         id_t = b.schema[key].dataType
         text_t = b.schema[text].dataType
@@ -399,7 +411,8 @@ def neardup_filter_batch(
             spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
             key_cols=["id"], sort_cols=["id"],
         )
-    texts_schema = _pinned_texts_schema(spark, state_dir, batch_df, key, text)
+    texts_schema = _pinned_texts_schema(state_dir, batch_df, key, text,
+                                        batch_id)
     b = batch_df
     # normalize drifted key/text types to the STORE's pinned types
     # before any state write or corpus join: mixing (say) int32 and
