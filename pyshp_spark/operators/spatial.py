@@ -895,22 +895,30 @@ def knn_join(
     tie_break: str | None = None,
     max_rounds: int = 6,
     brute_threshold: int | None = None,
+    allow_cartesian_fallback: bool = False,
 ) -> DataFrame:
     """Exact kNN via expanding cell-neighborhood search.
 
     Round r joins unresolved queries against targets within Chebyshev
-    cell radius 2^r, keeps per-query top-k, and declares a query
-    resolved when its k-th candidate distance is <= the guaranteed
-    covered distance radius*min(dx,dy) (any nearer target must lie in
-    an already-searched cell).  Stragglers left after ``max_rounds``
-    (empty regions / degenerate grids) fall back to a broadcast brute
-    scan when the target side passes the broadcast size guard (cheap:
-    the straggler set is tiny).  Past the guard — where the old
-    behavior was an unbounded distributed cartesian — ONE extra
-    widened ring (radius 2^max_rounds) runs first, and if queries
-    STILL remain it raises loudly (raise ``max_rounds`` or use a finer
-    grid) instead of running a cluster-killer.  Driver only
-    orchestrates rounds — all data work is joins + windows.
+    cell radius 2^r, keeps a RUNNING per-query top-k (each round's new
+    candidates fold into the previous round's top-k frame — the window
+    input is O(queries*k + new candidates), never the whole candidate
+    history), and declares a query resolved when its k-th candidate
+    distance is <= the guaranteed covered distance radius*min(dx,dy)
+    (any nearer target must lie in an already-searched cell).  The
+    driver runs exactly ONE action per round (the unresolved count,
+    which also materializes that round's top-k cache); each round's
+    top-k and unresolved-query frames are persisted and the previous
+    round's released, so peak storage is O(1) rounds.  Stragglers left
+    after ``max_rounds`` (empty regions / degenerate grids) fall back
+    to a broadcast brute scan when the target side passes the
+    broadcast size guard (cheap: the straggler set is tiny).  Past the
+    guard, ONE extra widened ring (radius 2^max_rounds) runs first,
+    and if queries STILL remain it raises loudly (raise ``max_rounds``
+    or use a finer grid) instead of running a cluster-killer — unless
+    ``allow_cartesian_fallback=True``, which opts back in to the
+    bounded distributed scan (stragglers x full target table) for
+    callers who prefer correctness-over-cost.
 
     ``brute_threshold`` is opt-in: when set, a target set at or below
     that many rows skips the rounds and runs the broadcast brute path
@@ -933,14 +941,15 @@ def knn_join(
         _P + "tcell", *[F.col(c).alias("__t_" + c) for c in tcols]
     ).cache()
     cached = [tgt]
-    remaining = queries
-    results = []
+    dedup_keys = [query_id] + ["__t_" + c for c in tcols]
+    order = [F.col("dist2")] + ([F.col("__t_" + tie_break)] if tie_break else [])
+    w = Window.partitionBy(query_id).orderBy(*order)
+    qcols = queries.columns
 
-    def ring_round(remaining, r: int):
-        """One cell-ring expansion round; returns the still-unresolved
-        query set after accumulating this radius's candidates."""
+    def ring_cand(remaining, r: int) -> DataFrame:
+        """Candidate pairs from the radius-2^r cell ring (cells NOT
+        covered by the previous radius), lazily."""
         radius = 2**r
-        # explode each query into its neighborhood cells at this radius
         q = remaining.withColumn(
             _P + "qcol", grid.col_expr(F.col(qx))
         ).withColumn(_P + "qrow", grid.row_expr(F.col(qy)))
@@ -950,7 +959,6 @@ def knn_join(
             _P + "dr", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
         )
         if r > 0:
-            # only the new ring (cells not covered by the previous radius)
             prev = 2 ** (r - 1)
             q = q.where(
                 (F.abs(F.col(_P + "dc")) > prev) | (F.abs(F.col(_P + "dr")) > prev)
@@ -965,63 +973,52 @@ def knn_join(
             (F.col(qx) - F.col("__t_" + tx)) * (F.col(qx) - F.col("__t_" + tx))
             + (F.col(qy) - F.col("__t_" + ty)) * (F.col(qy) - F.col("__t_" + ty)),
         )
-        cand = cand.drop(
+        return cand.drop(
             _P + "tcell", _P + "qcol", _P + "qrow", _P + "dc", _P + "dr"
-        ).persist()
-        cached.append(cand)
-        results.append(cand)
-        # resolved = queries whose k-th nearest candidate so far is provably
-        # inside the searched radius
-        acc = _union_all(results)
-        safe_dist = (radius * min(grid.dx, grid.dy)) ** 2
-        w = Window.partitionBy(query_id).orderBy("dist2")
-        kth = (
-            acc.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") == k)
-            .where(F.col("dist2") <= F.lit(safe_dist))
-            .select(query_id)
         )
-        return remaining.join(kth, on=query_id, how="left_anti")
 
+    def fold_topk(topk, cand) -> DataFrame:
+        """Running top-k: merge the previous top-k rows with this
+        round's candidates and keep per-query rank <= k under the
+        (dist2, tie_break) order — identical to windowing the full
+        candidate history because top-k is a fold under a total order.
+        The dedup mirrors the old end-of-run dropDuplicates (exact
+        duplicate query rows must collapse, not double-count)."""
+        merged = cand if topk is None else topk.drop("__rk").unionByName(cand)
+        return (
+            merged.dropDuplicates(dedup_keys)
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+        )
+
+    def advance(topk, remaining, r: int):
+        """One round: fold candidates, mark resolved queries, count the
+        unresolved remainder (the round's single action), release the
+        previous round's caches."""
+        new_topk = fold_topk(topk, ring_cand(remaining, r)).persist()
+        safe_dist = ((2**r) * min(grid.dx, grid.dy)) ** 2
+        kth = new_topk.where(
+            (F.col("__rk") == k) & (F.col("dist2") <= F.lit(safe_dist))
+        ).select(query_id)
+        new_remaining = remaining.join(
+            kth, on=query_id, how="left_anti"
+        ).persist()
+        n = new_remaining.count()
+        for old in (topk, remaining):
+            if old is not None and old is not queries:
+                old.unpersist()
+        cached.extend([new_topk, new_remaining])
+        return new_topk, new_remaining, n
+
+    topk = None
+    remaining = queries
+    n_rem = queries.count()
     for r in range(max_rounds):
-        if remaining.isEmpty():
+        if not n_rem:
             break
-        remaining = ring_round(remaining, r)
+        topk, remaining, n_rem = advance(topk, remaining, r)
 
-    if not remaining.isEmpty():
-        # straggler fallback: a broadcast brute scan when the target
-        # side fits the guard (cheap — the straggler set is tiny).
-        # Past the guard the old behavior was an unguarded distributed
-        # cartesian (queries x full fact table): instead run ONE extra
-        # widened ring, then fail loudly with the fix if queries STILL
-        # remain.
-        if not _resolve_broadcast(targets, "auto", 4_000_000):
-            remaining = ring_round(remaining, max_rounds)
-            if not remaining.isEmpty():
-                for df in cached:
-                    df.unpersist()
-                raise RuntimeError(
-                    "knn_join: queries remain unresolved after "
-                    f"{max_rounds}+1 cell-ring rounds and the target side "
-                    "is too large to broadcast for the brute fallback — "
-                    "raise max_rounds or use a finer grid so the ring "
-                    "search can terminate without a distributed cartesian "
-                    "product"
-                )
-        else:
-            t = F.broadcast(
-                targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
-            )
-            results.append(
-                remaining.crossJoin(t).withColumn(
-                    "dist2",
-                    (F.col(qx) - F.col("__t_" + tx))
-                    * (F.col(qx) - F.col("__t_" + tx))
-                    + (F.col(qy) - F.col("__t_" + ty))
-                    * (F.col(qy) - F.col("__t_" + ty)),
-                )
-            )
-    if not results:
+    if topk is None and not n_rem:
         # empty query set: the brute plan yields the correctly-shaped
         # empty result without touching the round machinery
         for df in cached:
@@ -1030,30 +1027,71 @@ def knn_join(
             queries, targets, k, qx=qx, qy=qy, tx=tx, ty=ty,
             query_id=query_id, target_cols=tcols, tie_break=tie_break,
         )
-    # dedup accumulated candidates on the FULL target tuple — deduping
-    # on the first target column alone would collapse distinct targets
-    # sharing that value and silently drop true nearest neighbors
-    dedup_keys = [query_id] + ["__t_" + c for c in tcols]
-    acc = _union_all(results).dropDuplicates(dedup_keys)
-    order = [F.col("dist2")] + ([F.col("__t_" + tie_break)] if tie_break else [])
-    w = Window.partitionBy(query_id).orderBy(*order)
-    out = acc.withColumn("knn_rank", F.row_number().over(w)).where(
-        F.col("knn_rank") <= k
-    )
-    qcols = queries.columns
+
     renames = [F.col("__t_" + c).alias(c if c not in qcols else "t_" + c)
                for c in tcols]
-    out = out.select(*qcols, *renames, "dist2", "knn_rank")
-    # the per-round caches fed eager orchestration (isEmpty/left_anti);
-    # materialize the (small, <= queries*k-ish) result so they can be
-    # released instead of leaking executor memory across calls.
-    # persist + count (NOT localCheckpoint): the blocks stay
-    # lineage-recoverable, so losing an executor after the caches are
-    # released recomputes instead of killing the query.
-    out = out.persist()
-    out.count()
+    out_cols = [*qcols, *renames, "dist2", F.col("__rk").alias("knn_rank")]
+
+    if n_rem:
+        # straggler fallback: a broadcast brute scan when the target
+        # side fits the guard (cheap — the straggler set is tiny).
+        # Past the guard the default is ONE extra widened ring, then a
+        # loud failure (an unguarded distributed cartesian is a
+        # cluster-killer); allow_cartesian_fallback=True opts back in
+        # to the bounded distributed scan instead of the error.
+        if _resolve_broadcast(targets, "auto", 4_000_000):
+            t = F.broadcast(
+                targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
+            )
+            extra = remaining.crossJoin(t).withColumn(
+                "dist2",
+                (F.col(qx) - F.col("__t_" + tx))
+                * (F.col(qx) - F.col("__t_" + tx))
+                + (F.col(qy) - F.col("__t_" + ty))
+                * (F.col(qy) - F.col("__t_" + ty)),
+            )
+            topk = fold_topk(topk, extra)
+        else:
+            topk, remaining, n_rem = advance(topk, remaining, max_rounds)
+            if n_rem:
+                if not allow_cartesian_fallback:
+                    for df in cached:
+                        df.unpersist()
+                    raise RuntimeError(
+                        "knn_join: queries remain unresolved after "
+                        f"{max_rounds}+1 cell-ring rounds and the target "
+                        "side is too large to broadcast for the brute "
+                        "fallback — raise max_rounds, use a finer grid, or "
+                        "pass allow_cartesian_fallback=True to accept the "
+                        "bounded distributed scan"
+                    )
+                t = targets.select(
+                    *[F.col(c).alias("__t_" + c) for c in tcols]
+                )
+                extra = remaining.crossJoin(t).withColumn(
+                    "dist2",
+                    (F.col(qx) - F.col("__t_" + tx))
+                    * (F.col(qx) - F.col("__t_" + tx))
+                    + (F.col(qy) - F.col("__t_" + ty))
+                    * (F.col(qy) - F.col("__t_" + ty)),
+                )
+                topk = fold_topk(topk, extra)
+        # the fallback fold is lazy: materialize the (queries*k-sized)
+        # result so the round caches can be released.  persist + count
+        # (NOT localCheckpoint): blocks stay lineage-recoverable.
+        out = topk.select(*out_cols).persist()
+        out.count()
+        for df in cached:
+            df.unpersist()
+        return out
+
+    # no fallback: the last round's persisted top-k IS the answer —
+    # already materialized by that round's count, so release every
+    # other cache and return the select over it
+    out = topk.select(*out_cols)
     for df in cached:
-        df.unpersist()
+        if df is not topk:
+            df.unpersist()
     return out
 
 
