@@ -288,8 +288,11 @@ def q_extent_agg(spark, sf_dir):
 def q_pip_join(spark, sf_dir):
     pts = _pts(spark, sf_dir)
     dia = _diamond_wkb(_diamonds(spark, sf_dir))
+    # point_out_cols: coords are refine INPUTS only — not shipping them
+    # back through Arrow trims the return channel (guide §4.1)
     out = point_in_polygon_join(
-        pts, dia, x="x", y="y", grid=ENTRY_GRID, polygon_cols=["oid"]
+        pts, dia, x="x", y="y", grid=ENTRY_GRID, polygon_cols=["oid"],
+        point_out_cols=["point_id"],
     )
     return out.select("point_id", "oid")
 
@@ -331,7 +334,7 @@ def q_pip_skew(spark, sf_dir):
     dia = _diamond_wkb(_diamonds(spark, sf_dir))
     out = point_in_polygon_join(
         pts, dia, x="x", y="y", grid=ENTRY_GRID, polygon_cols=["oid"],
-        broadcast_polygons=False, salt_k=8,
+        broadcast_polygons=False, salt_k=8, point_out_cols=["point_id"],
     )
     return out.select("point_id", "oid")
 
@@ -351,9 +354,9 @@ def q_spatial_semi(spark, sf_dir):
 def q_spatial_anti(spark, sf_dir):
     pts = _pts(spark, sf_dir)
     dia = _diamond_wkb(_diamonds(spark, sf_dir))
-    return spatial_anti_join(pts, dia, x="x", y="y", grid=ENTRY_GRID).select(
-        "point_id"
-    )
+    return spatial_anti_join(
+        pts, dia, x="x", y="y", grid=ENTRY_GRID, point_out_cols=["point_id"]
+    ).select("point_id")
 
 
 def q_knn(spark, sf_dir):
@@ -371,7 +374,12 @@ def q_knn(spark, sf_dir):
 
 
 def q_tile_assign(spark, sf_dir):
-    tiles = _tiles(spark, sf_dir)
+    # the events parquet is a single row group: spread the probe side so
+    # the explode + broadcast join + filter run on every core instead of
+    # one task (see _pts docstring)
+    tiles = _tiles(spark, sf_dir).repartition(
+        4 * spark.sparkContext.defaultParallelism
+    )
     dia = _diamonds(spark, sf_dir)
     out = bbox_overlap_join(
         tiles.select("tile_id", "rxmin", "rymin", "rxmax", "rymax"),
@@ -404,6 +412,10 @@ def q_zonal_stats(spark, sf_dir):
     from pyshp_spark.operators.spatial import zonal_stats  # noqa: PLC0415
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # testdata parquet is a single row group: without the repartition the
+    # ENTIRE refine + partial agg runs in ONE task (see _pts docstring);
+    # 4x cores so a straggler cannot set the stage wall
+    li = li.repartition(4 * spark.sparkContext.defaultParallelism)
     pts = li.select(
         (((F.col("l_partkey") * 7) % 1000).cast("double") + F.lit(0.25)).alias("x"),
         (((F.col("l_suppkey") * 13) % 1000).cast("double") + F.lit(0.1)).alias("y"),
@@ -435,6 +447,7 @@ def q_poly_contains(spark, sf_dir):
     out = point_in_polygon_join(
         samp, dia, x="sx", y="sy", grid=ENTRY_GRID,
         point_cols=["inner_oid", "sx", "sy"], polygon_cols=["oid"],
+        point_out_cols=["inner_oid"],
     )
     return out.where(F.col("inner_oid") != F.col("oid")).select(
         "inner_oid", F.col("oid").alias("outer_oid")

@@ -202,7 +202,13 @@ def point_in_polygon_join(
     if bad:
         raise ValueError(f"point_out_cols not in point_cols: {sorted(bad)}")
     if not salt_k:
-        if _resolve_broadcast(
+        # an already-cached index answers the broadcast question for
+        # free — only cache misses pay the size-probe jobs
+        if (
+            broadcast_polygons == "auto"
+            and (max_broadcast_rows, max_broadcast_bytes) == _DEFAULT_GUARD
+            and _has_cached_index(polygons, grid, gcols)
+        ) or _resolve_broadcast(
             polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
         ):
             return _pip_join_broadcast(
@@ -281,6 +287,61 @@ def clear_polygon_index_cache() -> None:
             pass
 
 
+def _index_cache_key(polygons: DataFrame, grid: Grid,
+                     polygon_cols: list[str] | None):
+    """(app, plan-semantic-hash, grid, cols) cache key, or None when the
+    semantic hash is unavailable (then nothing is cached)."""
+    try:
+        return (
+            polygons.sparkSession.sparkContext.applicationId,
+            polygons._jdf.queryExecution().analyzed().semanticHash(),
+            grid,
+            tuple(polygon_cols) if polygon_cols is not None else None,
+        )
+    except Exception:
+        return None
+
+
+def _find_cached_index(key, polygon_cols):
+    """Cache lookup for ``key``; a geometry-only request
+    (``polygon_cols == []``) may reuse ANY same-(plan, grid) entry —
+    the broadcast arrays are built from the geometry columns alone, so
+    an index built with attribute columns answers semi/anti probes
+    identically.  Returns the entry (marked most-recently-used) or
+    None."""
+    idx = _INDEX_CACHE.get(key)
+    if idx is None and not (polygon_cols or []):
+        for k2 in _INDEX_CACHE:
+            if k2[:3] == key[:3]:
+                key, idx = k2, _INDEX_CACHE[k2]
+                break
+    if idx is not None:
+        _INDEX_CACHE[key] = _INDEX_CACHE.pop(key)  # mark MRU
+    return idx
+
+
+_DEFAULT_GUARD = (4_000_000, 1_500_000_000)
+
+
+def _has_cached_index(polygons, grid, polygon_cols) -> bool:
+    """True when a usable broadcast index for this polygon plan is
+    already cached — the entry points consult this BEFORE running the
+    broadcast-size probe, so steady-state repeated joins against the
+    same dimension table skip the probe's two jobs (a LIMIT-bounded
+    count plus a sum(length(wkb)) scan that re-evaluates any geometry-
+    producing UDF over the whole build side) entirely.  Callers only
+    take this shortcut under the DEFAULT guard values: a per-call
+    tightened guard must keep forcing the probe (and its fallback)."""
+    key = _index_cache_key(polygons, grid, polygon_cols)
+    if key is None:
+        return False
+    if key in _INDEX_CACHE:
+        return True
+    if not (polygon_cols or []):
+        return any(k[:3] == key[:3] for k in _INDEX_CACHE)
+    return False
+
+
 def _cached_polygon_index(polygons: DataFrame, grid: Grid,
                           polygon_cols: list[str] | None):
     """Session-scoped LRU over BroadcastPolygonIndex keyed by the
@@ -290,19 +351,13 @@ def _cached_polygon_index(polygons: DataFrame, grid: Grid,
     Evicted entries release their broadcast.  Keys are PLANS — if the
     files underneath a read path are rewritten in place, call
     :func:`clear_polygon_index_cache`."""
-    try:
-        key = (
-            polygons.sparkSession.sparkContext.applicationId,
-            polygons._jdf.queryExecution().analyzed().semanticHash(),
-            grid,
-            tuple(polygon_cols) if polygon_cols is not None else None,
-        )
-    except Exception:
+    key = _index_cache_key(polygons, grid, polygon_cols)
+    if key is None:
         return BroadcastPolygonIndex(polygons, grid=grid, polygon_cols=polygon_cols)
-    idx = _INDEX_CACHE.pop(key, None)
+    idx = _find_cached_index(key, polygon_cols)
     if idx is None:
         idx = BroadcastPolygonIndex(polygons, grid=grid, polygon_cols=polygon_cols)
-    _INDEX_CACHE[key] = idx  # re-insert = most recently used
+        _INDEX_CACHE[key] = idx
     while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
         oldest = next(iter(_INDEX_CACHE))
         old = _INDEX_CACHE.pop(oldest)
@@ -642,7 +697,8 @@ def spatial_semi_join(
     points, polygons, x="x", y="y", grid=GRID,
     broadcast_polygons: bool | str = "auto", salt_k: int | None = None,
     max_broadcast_rows: int = 4_000_000,
-    max_broadcast_bytes: int = 1_500_000_000, **kw,
+    max_broadcast_bytes: int = 1_500_000_000,
+    point_out_cols: list[str] | None = None, **kw,
 ) -> DataFrame:
     """Rows of ``points`` that fall inside at least one polygon.
 
@@ -656,21 +712,29 @@ def spatial_semi_join(
     column must still match its own matched tuple), which also
     preserves left multiplicity."""
     pcols = points.columns
-    if not salt_k and _resolve_broadcast(
-        polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
+    if not salt_k and (
+        (
+            broadcast_polygons == "auto"
+            and (max_broadcast_rows, max_broadcast_bytes) == _DEFAULT_GUARD
+            and _has_cached_index(polygons, grid, [])
+        )
+        or _resolve_broadcast(
+            polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
+        )
     ):
         return _cached_polygon_index(polygons, grid, []).join_points(
-            points, x=x, y=y, mode="semi"
+            points, x=x, y=y, mode="semi", point_out_cols=point_out_cols
         )
     matched = point_in_polygon_join(
         points, polygons, x=x, y=y, grid=grid, polygon_cols=[],
         broadcast_polygons=False, salt_k=salt_k, **kw
     )
     matched_vals = matched.select(*pcols).dropDuplicates(pcols)
-    return points.join(
+    out = points.join(
         matched_vals, on=_null_safe_cond(points, matched_vals, pcols),
         how="left_semi",
     )
+    return out if point_out_cols is None else out.select(*point_out_cols)
 
 
 def _null_safe_cond(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
@@ -687,7 +751,8 @@ def spatial_anti_join(
     points, polygons, x="x", y="y", grid=GRID,
     broadcast_polygons: bool | str = "auto", salt_k: int | None = None,
     max_broadcast_rows: int = 4_000_000,
-    max_broadcast_bytes: int = 1_500_000_000, **kw,
+    max_broadcast_bytes: int = 1_500_000_000,
+    point_out_cols: list[str] | None = None, **kw,
 ) -> DataFrame:
     """Rows of ``points`` outside every polygon.
 
@@ -698,21 +763,29 @@ def spatial_anti_join(
     matched point-values with null-safe equality (plain equality would
     wrongly KEEP a matched row whose non-coordinate column is NULL)."""
     pcols = points.columns
-    if not salt_k and _resolve_broadcast(
-        polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
+    if not salt_k and (
+        (
+            broadcast_polygons == "auto"
+            and (max_broadcast_rows, max_broadcast_bytes) == _DEFAULT_GUARD
+            and _has_cached_index(polygons, grid, [])
+        )
+        or _resolve_broadcast(
+            polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
+        )
     ):
         return _cached_polygon_index(polygons, grid, []).join_points(
-            points, x=x, y=y, mode="anti"
+            points, x=x, y=y, mode="anti", point_out_cols=point_out_cols
         )
     matched = point_in_polygon_join(
         points, polygons, x=x, y=y, grid=grid, polygon_cols=[],
         broadcast_polygons=False, salt_k=salt_k, **kw
     )
     matched_vals = matched.select(*pcols).dropDuplicates(pcols)
-    return points.join(
+    out = points.join(
         matched_vals, on=_null_safe_cond(points, matched_vals, pcols),
         how="left_anti",
     )
+    return out if point_out_cols is None else out.select(*point_out_cols)
 
 
 def tile_assignment(

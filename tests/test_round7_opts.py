@@ -1,0 +1,161 @@
+"""Round-7 optimization invariants.
+
+1. The broadcast-size probe short-circuit: once an index for a polygon
+   plan is cached, auto-path joins reuse it without re-probing, and a
+   geometry-only request (semi/anti, polygon_cols=[]) reuses an index
+   built WITH attribute columns instead of building a second one.
+2. point_out_cols on spatial_semi_join / spatial_anti_join trims the
+   output columns without changing row content on both paths.
+3. knn_join's running top-k fold releases every per-round cache except
+   the one backing the returned frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import SparkSession
+
+import pyshp_spark.operators.spatial as sp
+from pyshp_spark.functions.cells import Grid
+from pyshp_spark.kernels.wkb import wkb_polygon
+from pyshp_spark.operators.spatial import (
+    knn_brute,
+    knn_join,
+    point_in_polygon_join,
+    spatial_anti_join,
+    spatial_semi_join,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("round7-opts")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+GRID4 = Grid(x0=0.0, y0=0.0, dx=4.0, dy=4.0, width=1 << 10)
+
+
+def _polys(spark):
+    rows = []
+    for oid, (cx, cy, r) in enumerate([(10.0, 10.0, 5.0), (30.0, 30.0, 8.0),
+                                       (50.0, 10.0, 6.0)]):
+        ring = np.array(
+            [[cx, cy + r], [cx + r, cy], [cx, cy - r], [cx - r, cy],
+             [cx, cy + r]]
+        )
+        rows.append((oid, bytearray(wkb_polygon([ring])),
+                     cx - r, cy - r, cx + r, cy + r))
+    return spark.createDataFrame(
+        rows, "oid long, wkb binary, xmin double, ymin double, "
+              "xmax double, ymax double",
+    )
+
+
+def _pts(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "pid": range(6),
+            "x": [10.0, 30.0, 50.0, 90.0, 30.0, 10.0],
+            "y": [10.0, 30.0, 10.0, 90.0, 31.0, 80.0],
+        })
+    )
+
+
+def test_geometry_only_request_reuses_attr_index(spark):
+    sp.clear_polygon_index_cache()
+    polys, pts = _polys(spark), _pts(spark)
+    inner = point_in_polygon_join(pts, polys, grid=GRID4, polygon_cols=["oid"])
+    inner.count()
+    assert len(sp._INDEX_CACHE) == 1
+    # geometry-only anti/semi must reuse the ["oid"] index, not build a
+    # second one under the [] key
+    anti = spatial_anti_join(pts, polys, grid=GRID4)
+    semi = spatial_semi_join(pts, polys, grid=GRID4)
+    got_anti = sorted(r.pid for r in anti.collect())
+    got_semi = sorted(r.pid for r in semi.collect())
+    assert len(sp._INDEX_CACHE) == 1
+    # ground truth from the forced sort-merge path
+    want_semi = sorted(
+        r.pid for r in spatial_semi_join(
+            pts, polys, grid=GRID4, broadcast_polygons=False
+        ).collect()
+    )
+    assert got_semi == want_semi
+    assert sorted(got_anti + got_semi) == sorted(r.pid for r in pts.collect())
+
+
+def test_tightened_guard_still_forces_fallback_past_cache(spark):
+    """A cached index must NOT override a caller-tightened broadcast
+    guard: max_broadcast_rows=1 picks the cell-join path regardless."""
+    sp.clear_polygon_index_cache()
+    polys, pts = _polys(spark), _pts(spark)
+    point_in_polygon_join(pts, polys, grid=GRID4, polygon_cols=["oid"]).count()
+    fb = point_in_polygon_join(
+        pts, polys, grid=GRID4, polygon_cols=["oid"], max_broadcast_rows=1
+    )
+    plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "__ps_cell" in plan
+
+
+def test_semi_anti_point_out_cols_trim(spark):
+    sp.clear_polygon_index_cache()
+    polys, pts = _polys(spark), _pts(spark)
+    for bc in ("auto", False):
+        anti = spatial_anti_join(
+            pts, polys, grid=GRID4, broadcast_polygons=bc,
+            point_out_cols=["pid"],
+        )
+        assert anti.columns == ["pid"]
+        full = spatial_anti_join(
+            pts, polys, grid=GRID4, broadcast_polygons=bc
+        )
+        assert sorted(r.pid for r in anti.collect()) == sorted(
+            r.pid for r in full.collect()
+        )
+        semi = spatial_semi_join(
+            pts, polys, grid=GRID4, broadcast_polygons=bc,
+            point_out_cols=["pid"],
+        )
+        assert semi.columns == ["pid"]
+        fulls = spatial_semi_join(
+            pts, polys, grid=GRID4, broadcast_polygons=bc
+        )
+        assert sorted(r.pid for r in semi.collect()) == sorted(
+            r.pid for r in fulls.collect()
+        )
+
+
+def test_knn_fold_releases_round_caches(spark):
+    rng = np.random.default_rng(11)
+    q = spark.createDataFrame(pd.DataFrame({
+        "query_id": range(20),
+        "x": rng.uniform(0, 100, 20),
+        "y": rng.uniform(0, 100, 20),
+    }))
+    t = spark.createDataFrame(pd.DataFrame({
+        "tid": range(300),
+        "x": rng.uniform(0, 100, 300),
+        "y": rng.uniform(0, 100, 300),
+    }))
+    grid = Grid(x0=0.0, y0=0.0, dx=10.0, dy=10.0, width=1 << 10)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = knn_join(q, t, k=3, grid=grid, target_cols=["tid", "x", "y"],
+                   tie_break="tid")
+    got = {(r.query_id, r.tid, r.knn_rank) for r in out.collect()}
+    want = {(r.query_id, r.tid, r.knn_rank) for r in knn_brute(
+        q, t, k=3, target_cols=["tid", "x", "y"], tie_break="tid"
+    ).collect()}
+    assert got == want
+    # only the returned frame's backing cache may remain
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1
