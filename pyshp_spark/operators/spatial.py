@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyshp_spark.functions.bbox import point_in_bbox_expr
-from pyshp_spark.functions.cells import GRID, Grid, cell_cover_udf
+from pyshp_spark.functions.cells import GRID, Grid
 from pyshp_spark.kernels.rings import pip_pairs, pip_pairs_flat, rings_to_edges
 from pyshp_spark.kernels.wkb import wkb_rings
 
@@ -45,18 +45,42 @@ _P = "__ps_"  # internal column prefix
 POLYGON_META_COLS = ("wkb", "xmin", "ymin", "xmax", "ymax")
 
 
+def _explode_bbox_cover(
+    df: DataFrame,
+    grid: Grid,
+    xmin: str = "xmin",
+    ymin: str = "ymin",
+    xmax: str = "xmax",
+    ymax: str = "ymax",
+    out: str = _P + "cell",
+) -> DataFrame:
+    """One output row per bbox cover cell, entirely in JVM codegen
+    (two Generate-over-sequence nodes) — replaces the ArrowEvalPython
+    cover UDF that paid a JVM->Python->JVM round trip plus a per-row
+    Python loop on every cover explode (guide §4.1: built-ins over
+    UDFs).  Same cell set as ``Grid.bbox_cover_np`` (identical floor
+    arithmetic).  Rows with a NULL/NaN bound or an inverted bbox yield
+    no cover rows — the filter reproduces the UDF's empty-cover
+    behavior for missing geometry (NaN comparisons are false)."""
+    cc, cr = _P + "covc", _P + "covr"
+    df = df.where((F.col(xmin) <= F.col(xmax)) & (F.col(ymin) <= F.col(ymax)))
+    c0 = F.floor((F.col(xmin) - F.lit(grid.x0)) / F.lit(grid.dx)).cast("long")
+    c1 = F.floor((F.col(xmax) - F.lit(grid.x0)) / F.lit(grid.dx)).cast("long")
+    r0 = F.floor((F.col(ymin) - F.lit(grid.y0)) / F.lit(grid.dy)).cast("long")
+    r1 = F.floor((F.col(ymax) - F.lit(grid.y0)) / F.lit(grid.dy)).cast("long")
+    return (
+        df.withColumn(cc, F.explode(F.sequence(c0, c1)))
+        .withColumn(cr, F.explode(F.sequence(r0, r1)))
+        .withColumn(out, F.col(cc) + F.col(cr) * F.lit(grid.width))
+        .drop(cc, cr)
+    )
+
+
 def _polygons_with_cells(
     polygons: DataFrame, grid: Grid, salt_k: int | None
 ) -> DataFrame:
     """Explode each polygon row into one row per cover cell (and salt)."""
-    out = polygons.withColumn(
-        _P + "cell",
-        F.explode(
-            cell_cover_udf(grid)(
-                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-            )
-        ),
-    )
+    out = _explode_bbox_cover(polygons, grid)
     if salt_k:
         out = out.withColumn(
             _P + "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1)))
@@ -836,15 +860,8 @@ def tile_assignment(
         build = _polygons_with_cells(
             polygons.select("xmin", "ymin", "xmax", "ymax", *gcols), grid, None
         )
-        cover = cell_cover_udf(grid)
-        probe = boxed.withColumn(
-            _P + "cell",
-            F.explode(
-                cover(
-                    F.col("__txmin"), F.col("__tymin"),
-                    F.col("__txmax"), F.col("__tymax"),
-                )
-            ),
+        probe = _explode_bbox_cover(
+            boxed, grid, "__txmin", "__tymin", "__txmax", "__tymax"
         )
         cand = probe.join(F.broadcast(build), on=_P + "cell").where(
             (F.col("__txmin") <= F.col("xmax"))
@@ -882,17 +899,10 @@ def bbox_overlap_join(
     xmin/ymin/xmax/ymax columns; no UDF refine (bbox semantics are the
     contract)."""
     rxmin, rymin, rxmax, rymax = rect_cols
-    cover = cell_cover_udf(grid)
-    build = boxes.withColumn(
-        _P + "cell",
-        F.explode(cover(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))),
-    )
+    build = _explode_bbox_cover(boxes, grid)
     if broadcast_boxes:
         build = F.broadcast(build)
-    probe = rects.withColumn(
-        _P + "cell",
-        F.explode(cover(F.col(rxmin), F.col(rymin), F.col(rxmax), F.col(rymax))),
-    )
+    probe = _explode_bbox_cover(rects, grid, rxmin, rymin, rxmax, rymax)
     cand = probe.join(build, on=_P + "cell").where(
         (F.col(rxmin) <= F.col("xmax"))
         & (F.col("xmin") <= F.col(rxmax))
