@@ -281,6 +281,7 @@ def point_in_polygon_join(
         .drop(_P + "dup")
         .persist()
     )
+    _register_op_caches("pip_shuffle", [keyed])
     pid_keys = [_P + "pid", _P + "pid2"]
     build = _polygons_with_cells(keyed.drop("wkb"), grid, salt_k)
     cand = probe.join(build, on=join_keys, how="inner").where(
@@ -297,6 +298,38 @@ def point_in_polygon_join(
 
 _INDEX_CACHE: dict = {}
 _INDEX_CACHE_MAX = 4
+
+#: operator-internal persisted frames, one GENERATION per operator: the
+#: shuffle-path PIP join, assign_holes_distributed and knn_join persist
+#: small shared subtrees that used to live until session GC — an ETL
+#: loop calling them N times accumulated N cached frames.  Each call now
+#: releases the PREVIOUS call's generation (correctness is unaffected:
+#: the frames are lazy and lineage-recoverable, an already-returned
+#: result just recomputes if re-used after release), and
+#: :func:`release_operator_caches` reclaims everything on demand.
+_OP_CACHES: dict[str, list] = {}
+
+
+def release_operator_caches(op: str | None = None) -> None:
+    """Unpersist the cached frames backing the most recent result of
+    ``op`` (``"pip_shuffle"``, ``"assign_holes"``, ``"knn_join"``), or
+    of every operator when None.  Safe to call at any time — released
+    results recompute through plain lineage."""
+    ops = [op] if op is not None else list(_OP_CACHES)
+    for o in ops:
+        for f in _OP_CACHES.pop(o, []):
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+
+
+def _register_op_caches(op: str, frames) -> None:
+    """Adopt ``frames`` as ``op``'s live cache generation, releasing the
+    previous one — bounds operator-internal storage at one generation
+    per operator across a long-lived session."""
+    release_operator_caches(op)
+    _OP_CACHES[op] = [f for f in frames if f is not None]
 
 
 def clear_polygon_index_cache() -> None:
@@ -1166,6 +1199,7 @@ def knn_join(
         out.count()
         for df in cached:
             df.unpersist()
+        _register_op_caches("knn_join", [out])
         return out
 
     # no fallback: the last round's persisted top-k IS the answer —
@@ -1175,6 +1209,7 @@ def knn_join(
     for df in cached:
         if df is not topk:
             df.unpersist()
+    _register_op_caches("knn_join", [topk])
     return out
 
 
@@ -1381,9 +1416,12 @@ def assign_holes_distributed(
     pairs, per-hole assignments) are lazily persisted because each
     feeds multiple non-identical union branches (runtime exchange
     reuse cannot dedup those; without the cache one action re-ran the
-    candidate chain 4x).  They stay cached until evicted — a
-    long-lived session calling this in a loop can reclaim storage
-    with ``spark.catalog.clearCache()`` after consuming the result.
+    candidate chain 4x).  They are tracked as ONE generation per
+    operator: the next ``assign_holes_distributed`` call releases the
+    previous call's frames, and
+    :func:`release_operator_caches`("assign_holes") reclaims them on
+    demand — a long-lived ETL loop holds at most one generation, and a
+    released result recomputes through plain lineage if re-used.
     """
     from pyshp_spark.operators.geometry import with_ring_stats  # noqa: PLC0415
 
@@ -1567,6 +1605,7 @@ def assign_holes_distributed(
         .select(*keep_cols)
     )
     assigned = single.unionByName(best).persist()
+    _register_op_caches("assign_holes", [stats, cand, assigned])
     out_multi = assigned.select(
         shape_id,
         F.col("__h_idx").alias(ring_idx),

@@ -135,6 +135,65 @@ def test_semi_anti_point_out_cols_trim(spark):
         )
 
 
+def _n_persisted(spark):
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_operator_cache_generations_bounded_and_releasable(spark):
+    """VERDICT r6 task #1: the shuffle-path PIP join's keyed persist (and
+    hole_assign's three) must not accumulate across calls — each call
+    holds one generation, and release_operator_caches() returns storage
+    to baseline after the result is consumed."""
+    sp.clear_polygon_index_cache()
+    sp.release_operator_caches()
+    polys, pts = _polys(spark), _pts(spark)
+    base = _n_persisted(spark)
+    want = None
+    for _ in range(3):
+        out = point_in_polygon_join(
+            pts, polys, grid=GRID4, polygon_cols=["oid"],
+            broadcast_polygons=False,
+        )
+        got = sorted((r.pid, r.oid) for r in out.collect())
+        if want is None:
+            want = got
+        assert got == want
+        # at most ONE generation (one keyed frame) above baseline
+        assert _n_persisted(spark) - base <= 1
+    sp.release_operator_caches("pip_shuffle")
+    assert _n_persisted(spark) == base
+
+
+def test_hole_assign_caches_released(spark):
+    import numpy as np  # noqa: PLC0415
+
+    from pyshp_spark.operators.spatial import assign_holes_distributed  # noqa: PLC0415
+
+    sp.release_operator_caches()
+    # CW exterior (negative shoelace), CCW hole
+    ext = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0],
+                    [0.0, 0.0]])
+    hole = np.array([[2.0, 2.0], [2.0, 4.0], [4.0, 4.0], [4.0, 2.0],
+                     [2.0, 2.0]])[::-1].copy()
+    rows = []
+    for sid in range(3):
+        rows.append((sid, 0, bytearray(wkb_polygon([ext])),
+                     0.0, 0.0, 10.0, 10.0))
+        rows.append((sid, 1, bytearray(wkb_polygon([hole])),
+                     2.0, 2.0, 4.0, 4.0))
+    rings = spark.createDataFrame(
+        rows, "shape_id long, ring_idx int, wkb binary, xmin double, "
+              "ymin double, xmax double, ymax double",
+    )
+    base = _n_persisted(spark)
+    for _ in range(2):
+        out = assign_holes_distributed(rings)
+        assert out.count() == 6
+        assert _n_persisted(spark) - base <= 3  # one generation
+    sp.release_operator_caches("assign_holes")
+    assert _n_persisted(spark) == base
+
+
 def test_knn_fold_releases_round_caches(spark):
     rng = np.random.default_rng(11)
     q = spark.createDataFrame(pd.DataFrame({
