@@ -155,18 +155,19 @@ def stratified_sample_n(
     case.  Use it when strata are few and fat (the threshold frame is
     one row per stratum, broadcastable by construction in exactly the
     regime where the guard matters).  Cost: two corpus scans (count +
-    prefilter — inherent, the threshold derives from the counts), both
-    small intermediates eagerly localCheckpoint-ed so no subtree
-    re-scans; the rare-fallback branch's scan is elided at runtime by
-    AQE's empty-relation propagation when no stratum falls short.
+    prefilter — inherent, the threshold derives from the counts); both
+    small intermediates are lazily ``persist()``-ed so no subtree
+    re-scans within an action, and the rare-fallback branch's scan is
+    elided at runtime by AQE's empty-relation propagation when no
+    stratum falls short.
 
-    Side effect note: with ``prefilter=True``, CONSTRUCTING the result
-    DataFrame runs Spark jobs (the eager count/prefilter
-    materializations above) — plan-only composition (explain, lazy
-    pipelines) should use ``prefilter=False``, whose plan is fully
-    lazy.  The checkpointed blocks are executor-local; on a real
-    cluster an executor lost after construction requires re-calling
-    this function (blocks have no lineage)."""
+    The plan is FULLY LAZY: construction runs zero Spark jobs (safe
+    for explain/plan-only composition), and the persisted blocks keep
+    plain lineage — an executor lost mid-query recomputes them instead
+    of invalidating the result (the old eager-localCheckpoint variant
+    had lineage-free executor-local blocks).  The two caches are
+    tracked as one generation per call
+    (operators.opcache.release_operator_caches("stratified_sample"))."""
     if n <= 0:
         raise ValueError("n must be positive")
     from pyspark.sql import Window
@@ -185,13 +186,15 @@ def stratified_sample_n(
         return rank_top_n(df)
     if oversample < 2:
         raise ValueError("oversample must be >= 2")
+    from pyshp_spark.operators.opcache import register_op_caches  # noqa: PLC0415
+
     buckets = 1 << 30
-    # one row per stratum; checkpointed so thr and the shortfall check
-    # below don't each re-run the counting scan
+    # one row per stratum; persisted (lazy, lineage-recoverable) so thr
+    # and the shortfall check below don't each re-run the counting scan
     counts = (
         df.groupBy(strata)
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     thr = counts.select(
         F.col(strata).alias("__ps_strata"),
@@ -205,9 +208,9 @@ def stratified_sample_n(
     # NULL strata can't ride an equi-join: send them straight to the
     # full-window path (they are one partition there regardless)
     notnull = df.where(F.col(strata).isNotNull())
-    # pre is O(strata x oversample x n) rows; checkpoint it so the
-    # main window, the shortfall check, and the anti join share ONE
-    # corpus scan instead of re-reading the input per subtree
+    # pre is O(strata x oversample x n) rows; persisted so the main
+    # window, the shortfall check, and the anti join share ONE corpus
+    # scan instead of re-reading the input per subtree.
     # NULL-hash rows (a NULL key under the knuth flavor) sort FIRST in
     # the window's ascending order, so the full path always selects
     # them — the prefilter must pass them too, or `h < thr` (NULL)
@@ -219,8 +222,9 @@ def stratified_sample_n(
         )
         .where((h < F.col("__thr")) | h.isNull())
         .drop("__ps_strata", "__thr")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    register_op_caches("stratified_sample", [counts, pre])
     # hash-unlucky strata (fewer survivors than n while the stratum
     # holds more rows than survived — INCLUDING zero survivors, so the
     # check must start from `counts`, where every stratum appears, not

@@ -299,37 +299,12 @@ def point_in_polygon_join(
 _INDEX_CACHE: dict = {}
 _INDEX_CACHE_MAX = 4
 
-#: operator-internal persisted frames, one GENERATION per operator: the
-#: shuffle-path PIP join, assign_holes_distributed and knn_join persist
-#: small shared subtrees that used to live until session GC — an ETL
-#: loop calling them N times accumulated N cached frames.  Each call now
-#: releases the PREVIOUS call's generation (correctness is unaffected:
-#: the frames are lazy and lineage-recoverable, an already-returned
-#: result just recomputes if re-used after release), and
-#: :func:`release_operator_caches` reclaims everything on demand.
-_OP_CACHES: dict[str, list] = {}
-
-
-def release_operator_caches(op: str | None = None) -> None:
-    """Unpersist the cached frames backing the most recent result of
-    ``op`` (``"pip_shuffle"``, ``"assign_holes"``, ``"knn_join"``), or
-    of every operator when None.  Safe to call at any time — released
-    results recompute through plain lineage."""
-    ops = [op] if op is not None else list(_OP_CACHES)
-    for o in ops:
-        for f in _OP_CACHES.pop(o, []):
-            try:
-                f.unpersist()
-            except Exception:
-                pass
-
-
-def _register_op_caches(op: str, frames) -> None:
-    """Adopt ``frames`` as ``op``'s live cache generation, releasing the
-    previous one — bounds operator-internal storage at one generation
-    per operator across a long-lived session."""
-    release_operator_caches(op)
-    _OP_CACHES[op] = [f for f in frames if f is not None]
+# operator-internal cache generations live in operators/opcache.py;
+# re-exported here because the spatial operators are their main users
+from pyshp_spark.operators.opcache import (  # noqa: F401
+    register_op_caches as _register_op_caches,
+    release_operator_caches,
+)
 
 
 def clear_polygon_index_cache() -> None:

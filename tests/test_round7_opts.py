@@ -194,6 +194,60 @@ def test_hole_assign_caches_released(spark):
     assert _n_persisted(spark) == base
 
 
+class TestStratifiedPrefilterLazy:
+    """VERDICT r6 task #2: the two-level prefilter must be fully lazy
+    (zero jobs at construction) and lineage-recoverable (bit-identical
+    output after a forced cache drop)."""
+
+    def _docs(self, spark):
+        import pandas as pd  # noqa: PLC0415
+
+        rng = np.random.default_rng(3)
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": np.arange(4000),
+            "lang": rng.choice(["en", "de", "fr"], 4000, p=[0.8, 0.15, 0.05]),
+        }))
+
+    def test_construction_runs_no_jobs(self, spark):
+        from pyshp_spark.operators.opcache import release_operator_caches  # noqa: PLC0415
+        from pyshp_spark.operators.sample import stratified_sample_n  # noqa: PLC0415
+
+        release_operator_caches()
+        df = self._docs(spark)
+        df.count()  # materialize input outside the probe window
+        sc = spark.sparkContext
+        sc.setJobGroup("strat-lazy-probe", "construction must be lazy")
+        try:
+            out = stratified_sample_n(
+                df, "lang", 7, "doc_id", hash="knuth", prefilter=True
+            )
+            out.explain()
+            jobs = sc.statusTracker().getJobIdsForGroup("strat-lazy-probe")
+            assert list(jobs) == [], f"construction ran jobs: {jobs}"
+        finally:
+            sc.setJobGroup(None, None)
+        assert out.count() == 21
+
+    def test_forced_recompute_bit_identical(self, spark):
+        from pyshp_spark.operators.opcache import release_operator_caches  # noqa: PLC0415
+        from pyshp_spark.operators.sample import stratified_sample_n  # noqa: PLC0415
+
+        df = self._docs(spark)
+        out = stratified_sample_n(
+            df, "lang", 7, "doc_id", hash="knuth", prefilter=True
+        )
+        want = sorted((r.doc_id, r.lang) for r in out.collect())
+        # drop the persisted blocks: the SAME frame must recompute
+        # through lineage to the SAME rows
+        release_operator_caches("stratified_sample")
+        got = sorted((r.doc_id, r.lang) for r in out.collect())
+        assert got == want
+        plain = stratified_sample_n(
+            df, "lang", 7, "doc_id", hash="knuth", prefilter=False
+        )
+        assert want == sorted((r.doc_id, r.lang) for r in plain.collect())
+
+
 def test_knn_fold_releases_round_caches(spark):
     rng = np.random.default_rng(11)
     q = spark.createDataFrame(pd.DataFrame({
