@@ -63,11 +63,24 @@ near-duplicates only a dropped non-keeper member of an earlier batch —
 but not that cluster's keeper (Jaccard is not transitive) — is
 therefore still REJECTED and resolves to the accepted representative,
 matching what the batch pipeline's connected components over the full
-stream would have chained.  The cost is state proportional to the RAW
-stream rather than the deduped corpus; pass ``track_dropped=False``
-to restore the corpus-proportional store and the (then-documented)
+stream would have chained.  The cost is state that grows with the RAW
+stream rather than the deduped corpus — compaction claws much of it
+back by folding fully-redundant band rows (same band slice, same
+representative, same text: retries and re-admitted content), so the
+compacted band store is bounded by the DISTINCT (signature,
+representative, text) population.  Pass ``track_dropped=False`` to
+restore the corpus-proportional store and the (then-documented)
 first-arrival-wins divergence: acceptance judged against accepted
 docs only.
+
+MIGRATION NOTE (round-6 behavior change): ``track_dropped=True``
+became the default in round 6.  A deployment upgrading with a
+PRE-EXISTING state directory keeps its old (accepted-docs-only) rows —
+those still work — but from the upgrade on, state grows with the raw
+stream unless ``track_dropped=False`` is passed explicitly, and
+accept/reject decisions can differ for arrivals that chain through
+previously-unpersisted dropped members.  Pick the flag deliberately
+when attaching to an old store.
 
 The reference has no streaming surface (SURVEY.md §2.10); this is the
 engine's forward-looking ingest-bus shape, mirroring
@@ -103,6 +116,18 @@ _NUM_BUCKETS = 32
 
 def _bucket_of(*cols) -> F.Column:
     return F.pmod(F.xxhash64(*cols), F.lit(_NUM_BUCKETS))
+
+
+def _batch_id_of(dirname: str) -> int | None:
+    """The N of a ``batch_id=N`` state directory, or None for anything
+    else (including a stray non-integer ``batch_id=`` name, which used
+    to raise ValueError out of every listing site)."""
+    if not dirname.startswith("batch_id="):
+        return None
+    try:
+        return int(dirname.split("=", 1)[1])
+    except ValueError:
+        return None
 
 
 # lossless automatic widenings for a drifted batch column vs the
@@ -146,7 +171,10 @@ def _pinned_texts_schema(
     try:
         with open(path) as f:
             return StructType.fromJson(json.load(f))
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError included: a pin whose JSON parses but is not a
+        # StructType description must fall through to re-derivation,
+        # not crash every subsequent batch
         pass
     id_t = text_t = None
     texts_path = os.path.join(state_dir, _TEXTS_SUB)
@@ -155,8 +183,7 @@ def _pinned_texts_schema(
         committed = [
             os.path.join(texts_path, d)
             for d in os.listdir(texts_path)
-            if d.startswith("batch_id=")
-            and int(d.split("=", 1)[1]) < batch_id
+            if (bid := _batch_id_of(d)) is not None and bid < batch_id
         ]
     if committed:
         store = b.sparkSession.read.option("mergeSchema", "true").parquet(
@@ -274,7 +301,8 @@ def _finish_compaction(path: str, tmp_name: str) -> None:
     half-retired store behind."""
     cid = int(tmp_name.rsplit("_", 1)[1])
     for d in os.listdir(path):
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < cid:
+        bid = _batch_id_of(d)
+        if bid is not None and bid < cid:
             shutil.rmtree(os.path.join(path, d))
     os.rename(os.path.join(path, tmp_name), os.path.join(path, f"batch_id={cid - 1}"))
 
@@ -304,6 +332,7 @@ def _compact_state(
     batch_id: int,
     key_cols: list[str],
     sort_cols: list[str],
+    collapse=None,
 ) -> None:
     """Fold every ``batch_id=N`` directory with N < ``batch_id`` into a
     single consolidated partition named ``batch_id=<batch_id - 1>``.
@@ -315,13 +344,18 @@ def _compact_state(
     mid-retirement is finished by :func:`_recover_compaction` at the
     next batch start, whatever the cadence), and the pre-compaction
     dedup on ``key_cols`` makes a re-run over a partially-retired store
-    produce identical rows."""
+    produce identical rows.
+
+    ``collapse``: optional store-specific reducer applied to the
+    consolidated frame before the write (deterministic, so re-runs
+    still produce identical rows) — the bands store uses it to fold
+    fully-redundant rows (see :func:`neardup_filter_batch`)."""
     if not os.path.isdir(path):
         return
     old = [
         d
         for d in os.listdir(path)
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+        if (bid := _batch_id_of(d)) is not None and bid < batch_id
     ]
     tmp_name = f".compact_tmp_{batch_id}"
     tmp = os.path.join(path, tmp_name)
@@ -342,6 +376,8 @@ def _compact_state(
             .dropDuplicates(key_cols)
             .drop("batch_id")
         )
+        if collapse is not None:
+            df = collapse(df)
         (
             df.repartition("__bucket")
             .sortWithinPartitions(*sort_cols)
@@ -402,17 +438,61 @@ def neardup_filter_batch(
     # cadence changed (or compaction was disabled) since
     _recover_compaction(os.path.join(state_dir, _BANDS_SUB))
     _recover_compaction(os.path.join(state_dir, _TEXTS_SUB))
+    # pinned BEFORE compaction: the band-collapse below reads the texts
+    # store with the pinned schema (compaction preserves the schema, so
+    # deriving first changes nothing else)
+    texts_schema = _pinned_texts_schema(state_dir, batch_df, key, text,
+                                        batch_id)
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+
+        def _collapse_bands(df: DataFrame) -> DataFrame:
+            """Fold fully-redundant band rows: two corpus members with
+            the SAME band slice, the SAME accepted representative and
+            the SAME text (retries; re-admitted content re-sent under
+            fresh ids) are interchangeable for every future probe — a
+            collision with either verifies against an identical text
+            and resolves to the identical keeper — so one row (the
+            smallest id) suffices.  Rows that differ in text or
+            representative are NEVER merged: they could verify
+            differently.  This bounds the track_dropped band store by
+            the DISTINCT (band_sig, rep, text) population instead of
+            the raw stream."""
+            texts = _read_state(
+                spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
+                schema=texts_schema,
+            )
+            if texts is None:
+                return df
+            t = texts.select(
+                F.col("id").alias("__tid"),
+                F.coalesce(F.col("keeper"), F.col("id")).alias("__rep"),
+                F.col("text").alias("__txt"),
+            ).dropDuplicates(["__tid"])
+            j = df.join(t, df["id"] == F.col("__tid"), "left")
+            # a band row with no text row (foreign/corrupt store) keeps
+            # its own id as the group key — never collapsed
+            rep = F.coalesce(F.col("__rep"), F.col("id"))
+            return (
+                j.groupBy(
+                    F.col("band"), F.col("band_sig"),
+                    rep.alias("__grp_rep"), F.col("__txt"),
+                )
+                .agg(F.min("id").alias("id"))
+                .select("id", "band", "band_sig")
+                .withColumn(
+                    "__bucket", _bucket_of(F.col("band"), F.col("band_sig"))
+                )
+            )
+
         _compact_state(
             spark, os.path.join(state_dir, _BANDS_SUB), batch_id,
             key_cols=["id", "band"], sort_cols=["band", "band_sig"],
+            collapse=_collapse_bands,
         )
         _compact_state(
             spark, os.path.join(state_dir, _TEXTS_SUB), batch_id,
             key_cols=["id"], sort_cols=["id"],
         )
-    texts_schema = _pinned_texts_schema(state_dir, batch_df, key, text,
-                                        batch_id)
     b = batch_df
     # normalize drifted key/text types to the STORE's pinned types
     # before any state write or corpus join: mixing (say) int32 and
