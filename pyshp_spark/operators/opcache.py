@@ -33,9 +33,32 @@ def release_operator_caches(op: str | None = None) -> None:
                 pass
 
 
+def _sem_hash(df):
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
 def register_op_caches(op: str, frames) -> None:
     """Adopt ``frames`` as ``op``'s live cache generation, releasing the
     previous one — bounds operator-internal storage at one generation
-    per operator across a long-lived session."""
-    release_operator_caches(op)
-    _OP_CACHES[op] = [f for f in frames if f is not None]
+    per operator across a long-lived session.
+
+    Previous-generation frames whose plan is SEMANTICALLY IDENTICAL to
+    a newly registered frame are NOT unpersisted: Spark's CacheManager
+    dedups persist() calls by canonicalized plan, so the new frame
+    shares the old frame's cache entry — unpersisting it would evict
+    the new frame's own data and force the shared subtree to recompute
+    once per downstream branch (a repeated identical call, e.g. a
+    benchmark loop, would get slower instead of reusing the cache)."""
+    new_frames = [f for f in frames if f is not None]
+    new_keys = {h for f in new_frames if (h := _sem_hash(f)) is not None}
+    for f in _OP_CACHES.pop(op, []):
+        h = _sem_hash(f)
+        if h is None or h not in new_keys:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+    _OP_CACHES[op] = new_frames

@@ -216,6 +216,13 @@ def point_in_polygon_join(
     shuffle path.  ``point_out_cols`` (subset of the point columns)
     restricts which point columns reach the OUTPUT — coords consumed
     only by the refine never travel back through Arrow.
+
+    Sort-merge-path type contract: the deterministic polygon id hashes
+    and window-partitions over (wkb, *polygon_cols), so on that path
+    every ``polygon_cols`` column must be a type Spark can hash and
+    partition by (MapType, for one, is not) — an AnalysisException
+    surfaces at plan time otherwise.  Project such columns away and
+    re-attach them after the join, or use the broadcast path.
     """
     pcols = point_cols or [c for c in points.columns]
     gcols = polygon_cols or [
@@ -1101,23 +1108,28 @@ def knn_join(
         cached.extend([new_topk, new_remaining])
         return new_topk, new_remaining, n
 
+    # round 0 runs unconditionally (an empty query set folds to an
+    # empty, correctly-shaped top-k) — no upfront count action
     topk = None
     remaining = queries
-    n_rem = queries.count()
+    n_rem = 1
     for r in range(max_rounds):
         if not n_rem:
             break
         topk, remaining, n_rem = advance(topk, remaining, r)
 
-    if topk is None and not n_rem:
-        # empty query set: the brute plan yields the correctly-shaped
-        # empty result without touching the round machinery
-        for df in cached:
-            df.unpersist()
-        return knn_brute(
-            queries, targets, k, qx=qx, qy=qy, tx=tx, ty=ty,
-            query_id=query_id, target_cols=tcols, tie_break=tie_break,
-        )
+    if topk is None:
+        # max_rounds == 0 with a possibly-empty query set: the brute
+        # plan yields the correct result without the round machinery —
+        # except past the broadcast guard, where the fallback below
+        # keeps the bounded-ring/raise contract
+        if _resolve_broadcast(targets, "auto", 4_000_000):
+            for df in cached:
+                df.unpersist()
+            return knn_brute(
+                queries, targets, k, qx=qx, qy=qy, tx=tx, ty=ty,
+                query_id=query_id, target_cols=tcols, tie_break=tie_break,
+            )
 
     renames = [F.col("__t_" + c).alias(c if c not in qcols else "t_" + c)
                for c in tcols]
