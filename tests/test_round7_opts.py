@@ -161,7 +161,11 @@ def test_operator_cache_generations_bounded_and_releasable(spark):
         # at most ONE generation (one keyed frame) above baseline
         assert _n_persisted(spark) - base <= 1
     sp.release_operator_caches("pip_shuffle")
-    assert _n_persisted(spark) == base
+    # <=, not ==: unpersist() is async and the module-scoped session is
+    # shared across test files, so an EARLIER test's release can land
+    # between the baseline capture and here, dropping the count below
+    # base (the accumulation bound above is the leak detector)
+    assert _n_persisted(spark) <= base
 
 
 def test_hole_assign_caches_released(spark):
@@ -191,7 +195,8 @@ def test_hole_assign_caches_released(spark):
         assert out.count() == 6
         assert _n_persisted(spark) - base <= 3  # one generation
     sp.release_operator_caches("assign_holes")
-    assert _n_persisted(spark) == base
+    # <= for the same async-unpersist reason as the pip_shuffle test
+    assert _n_persisted(spark) <= base
 
 
 class TestStratifiedPrefilterLazy:
