@@ -329,7 +329,10 @@ FROM lineitem
 def q_pip_skew(spark, sf_dir):
     # pins the SALTED SORT-MERGE join path in the driver gate (every
     # other spatial entry auto-picks the broadcast index): hot cell
-    # pre-split 8 ways + AQE as backstop, exact ray-cast refine
+    # pre-split 8 ways + AQE as backstop, exact ray-cast refine.
+    # dedup_coords=True was A/B-measured HERE and rejected: at this
+    # ~25%-duplication factor the distinct + coordinate join-back cost
+    # more than the candidate-pair reduction saved (OPTIMIZATION_r07.md)
     pts = _pts_skewed(spark, sf_dir)
     dia = _diamond_wkb(_diamonds(spark, sf_dir))
     out = point_in_polygon_join(

@@ -93,9 +93,18 @@ def _points_with_cell(
 ) -> DataFrame:
     out = points.withColumn(_P + "cell", grid.cell_expr(F.col(x), F.col(y)))
     if salt_k:
+        # salt over the WHOLE point row, not just (x, y): the archetypal
+        # hot spot is many rows at ONE exact coordinate, and a
+        # coordinate-derived salt maps them all to a single (cell, salt)
+        # partition — the salted join then still serializes the hot cell
+        # in one task (guide §2.5).  Hashing every point column spreads
+        # identical-coordinate rows across all k salts; the salt only
+        # routes rows, so results are unchanged, and it stays
+        # DETERMINISTIC under task retry (no rand()).
         out = out.withColumn(
             _P + "salt",
-            F.pmod(F.hash(F.col(x), F.col(y)), F.lit(salt_k)).cast("int"),
+            F.pmod(F.hash(*[F.col(c) for c in points.columns]),
+                   F.lit(salt_k)).cast("int"),
         )
     return out
 
@@ -121,34 +130,48 @@ def _refine_pip(
 
     out_schema = StructType(out_fields)
     out_cols = [f.name for f in out_fields]
+    in_names = [f.name for f in df.schema.fields]
+    wkb_i = in_names.index("wkb")
+    x_i, y_i = in_names.index(x), in_names.index(y)
+    out_idx = [in_names.index(c) for c in out_cols]
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def refine(batches):
+        # mapInArrow, not mapInPandas: a pandas conversion materializes
+        # one Python bytes object PER CANDIDATE ROW for the wkb column
+        # (pair-scale, the dominant boundary cost of the shuffle-path
+        # plan); Arrow keeps the binary column as one contiguous buffer,
+        # dictionary_encode dedups it at C speed, and only the DISTINCT
+        # wkbs per batch ever become Python objects
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+
         edge_cache: dict[bytes, np.ndarray] = {}
-        for pdf in batches:
-            # a null wkb would factorize to code -1 and negatively index
-            # the edge arrays (silently testing the wrong polygon)
-            pdf = pdf[pdf["wkb"].notna()]
-            if len(pdf) == 0:
-                yield pdf[out_cols]
+        for rb in batches:
+            wkb_arr = rb.column(wkb_i)
+            # a null wkb must not reach the kernel (it would silently
+            # test the wrong polygon); filter rows first
+            if wkb_arr.null_count:
+                rb = rb.filter(pc.is_valid(wkb_arr))
+                wkb_arr = rb.column(wkb_i)
+            if rb.num_rows == 0:
+                yield rb.select(out_idx)
                 continue
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            # factorize distinct polygons once per batch (C-speed), parse
-            # each distinct WKB once (cached across batches), then run
-            # the fully vectorized pair kernel — no per-polygon loop
-            codes, uniques = pd.factorize(pdf["wkb"])
+            enc = pc.dictionary_encode(wkb_arr)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
             edges = []
-            for w in uniques:
-                b = bytes(w)
+            for w in enc.dictionary:
+                b = w.as_py()
                 e = edge_cache.get(b)
                 if e is None:
                     e = rings_to_edges(wkb_rings(b))
                     edge_cache[b] = e
                 edges.append(e)
+            px = rb.column(x_i).to_numpy(zero_copy_only=False)
+            py = rb.column(y_i).to_numpy(zero_copy_only=False)
             keep = pip_pairs(edges, codes, px, py)
-            yield pdf.loc[keep, out_cols]
+            yield rb.select(out_idx).filter(pa.array(keep))
 
-    return df.mapInPandas(refine, schema=out_schema)
+    return df.mapInArrow(refine, schema=out_schema)
 
 
 def _resolve_broadcast(
@@ -198,6 +221,7 @@ def point_in_polygon_join(
     max_broadcast_rows: int = 4_000_000,
     max_broadcast_bytes: int = 1_500_000_000,
     point_out_cols: list[str] | None = None,
+    dedup_coords: bool = False,
 ) -> DataFrame:
     """Inner join: each point row paired with every polygon containing it.
 
@@ -223,6 +247,22 @@ def point_in_polygon_join(
     partition by (MapType, for one, is not) — an AnalysisException
     surfaces at plan time otherwise.  Project such columns away and
     re-attach them after the join, or use the broadcast path.
+
+    ``dedup_coords=True`` (shuffle/salted path only) collapses the
+    probe to DISTINCT (x, y) before the candidate join, refines only
+    distinct coordinates, and re-attaches the full point rows with a
+    JVM coordinate equi-join afterwards — the guide §2.5 hot-key
+    special case for probe sets where many rows share exact
+    coordinates (sensor pile-ups, default locations): a coordinate
+    carried by a million rows contributes its candidate pairs ONCE to
+    the join + Arrow refine instead of a million times, which both
+    kills the skewed candidate partition and shrinks the Python
+    boundary bytes.  Results are identical (the join-back restores
+    per-row multiplicity; Spark joins match NaN=NaN and drop NULL keys,
+    and neither NaN nor NULL coordinates can appear in the matched set
+    — exactly the rows the bbox filter already rejects).  Leave False
+    when probe coordinates are mostly unique: the distinct + join-back
+    then costs an extra shuffle for no pair reduction.
     """
     pcols = point_cols or [c for c in points.columns]
     gcols = polygon_cols or [
@@ -253,6 +293,22 @@ def point_in_polygon_join(
             polygons, broadcast_polygons, max_broadcast_rows, max_broadcast_bytes
         )
     build_src = polygons.select(*POLYGON_META_COLS, *gcols)
+    joinback_src = None
+    if dedup_coords:
+        # §2.5 hot-key collapse: candidate join + refine see each
+        # distinct coordinate once; full rows re-attach afterwards
+        joinback_src = points.select(*pcols)
+        points = joinback_src.select(F.col(x), F.col(y)).distinct()
+        pcols = [x, y]
+        refine_drop: set[str] = set()  # coords are the join-back key
+    else:
+        refine_drop = set(pcols) - set(ocols)
+
+    def _attach(refined: DataFrame) -> DataFrame:
+        if joinback_src is None:
+            return refined
+        return joinback_src.join(refined, on=[x, y]).select(*ocols, *gcols)
+
     probe = _points_with_cell(points.select(*pcols), x, y, grid, salt_k)
     join_keys = [_P + "cell"] + ([_P + "salt"] if salt_k else [])
     if broadcast_polygons:
@@ -263,7 +319,7 @@ def point_in_polygon_join(
                 F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
             )
         ).select(*pcols, *gcols, "wkb")
-        return _refine_pip(cand, x, y, drop_cols=set(pcols) - set(ocols))
+        return _attach(_refine_pip(cand, x, y, drop_cols=refine_drop))
 
     # shuffle path: the exploded build side replicates each polygon row
     # x cover-cells x salt_k through the exchange — so ship only
@@ -300,7 +356,7 @@ def point_in_polygon_join(
     cand = cand.join(
         keyed.select(*pid_keys, "wkb"), on=pid_keys, how="inner"
     ).select(*pcols, *gcols, "wkb")
-    return _refine_pip(cand, x, y, drop_cols=set(pcols) - set(ocols))
+    return _attach(_refine_pip(cand, x, y, drop_cols=refine_drop))
 
 
 _INDEX_CACHE: dict = {}

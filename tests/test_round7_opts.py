@@ -135,6 +135,34 @@ def test_semi_anti_point_out_cols_trim(spark):
         )
 
 
+def test_dedup_coords_identical_results(spark):
+    """dedup_coords collapses duplicate probe coordinates before the
+    candidate join and re-attaches rows by coordinate equi-join — the
+    output (including per-duplicate-row multiplicity) must be
+    bit-identical on both shuffle paths (plain and salted)."""
+    sp.clear_polygon_index_cache()
+    polys = _polys(spark)
+    # duplicate-heavy probe: many rows piled on one hot coordinate,
+    # plus full-duplicate rows and a NaN/NULL-coordinate row
+    rows = [(i, 10.0, 10.0) for i in range(50)]
+    rows += [(100, 30.0, 30.0), (100, 30.0, 30.0), (101, 90.0, 90.0),
+             (102, float("nan"), 5.0), (103, None, 5.0)]
+    pts = spark.createDataFrame(rows, "pid long, x double, y double")
+    for salt in (None, 4):
+        base = point_in_polygon_join(
+            pts, polys, grid=GRID4, polygon_cols=["oid"],
+            broadcast_polygons=False, salt_k=salt,
+        )
+        dd = point_in_polygon_join(
+            pts, polys, grid=GRID4, polygon_cols=["oid"],
+            broadcast_polygons=False, salt_k=salt, dedup_coords=True,
+        )
+        assert dd.columns == base.columns
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, dd.collect())
+        )
+
+
 def _n_persisted(spark):
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
