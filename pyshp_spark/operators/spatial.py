@@ -1080,9 +1080,15 @@ def knn_join(
     count() job — callers who know the target side is dimension-sized
     should call :func:`knn_brute` directly.
 
-    Note: candidate accumulation dedups on (query_id, all target
-    columns); target rows must be distinct on ``target_cols`` (pass an
-    id column) or duplicate targets will collapse.
+    Note: exact-duplicate query rows and target rows distinct-collapse
+    ONCE at entry (target rows must be distinct on ``target_cols`` —
+    pass an id column — or duplicate targets will collapse); ring
+    candidates are then unique (query, target) pairs BY CONSTRUCTION
+    (consecutive rings cover disjoint cell sets), so the fold needs no
+    per-round pair-level dropDuplicates — that was one extra exchange
+    over the merged top-k+candidates EVERY round (guide §2.4; only the
+    brute fallbacks, whose cross-join regenerates pairs the rings
+    already found, still dedup their one fold).
     """
     tcols = target_cols or [c for c in targets.columns]
     if brute_threshold is not None and targets.count() <= brute_threshold:
@@ -1093,12 +1099,13 @@ def knn_join(
     tgt = targets.withColumn(_P + "tcell", grid.cell_expr(F.col(tx), F.col(ty)))
     tgt = tgt.select(
         _P + "tcell", *[F.col(c).alias("__t_" + c) for c in tcols]
-    ).cache()
+    ).dropDuplicates().cache()
     cached = [tgt]
     dedup_keys = [query_id] + ["__t_" + c for c in tcols]
     order = [F.col("dist2")] + ([F.col("__t_" + tie_break)] if tie_break else [])
     w = Window.partitionBy(query_id).orderBy(*order)
     qcols = queries.columns
+    queries = queries.dropDuplicates()
 
     def ring_cand(remaining, r: int) -> DataFrame:
         """Candidate pairs from the radius-2^r cell ring (cells NOT
@@ -1131,17 +1138,20 @@ def knn_join(
             _P + "tcell", _P + "qcol", _P + "qrow", _P + "dc", _P + "dr"
         )
 
-    def fold_topk(topk, cand) -> DataFrame:
+    def fold_topk(topk, cand, dedup: bool = False) -> DataFrame:
         """Running top-k: merge the previous top-k rows with this
         round's candidates and keep per-query rank <= k under the
         (dist2, tie_break) order — identical to windowing the full
         candidate history because top-k is a fold under a total order.
-        The dedup mirrors the old end-of-run dropDuplicates (exact
-        duplicate query rows must collapse, not double-count)."""
+        Ring folds need no dedup (queries/targets distinct at entry +
+        disjoint ring cells -> unique pairs); the brute FALLBACK folds
+        pass dedup=True because their cross-join re-generates pairs the
+        rings already put into the running top-k."""
         merged = cand if topk is None else topk.drop("__rk").unionByName(cand)
+        if dedup:
+            merged = merged.dropDuplicates(dedup_keys)
         return (
-            merged.dropDuplicates(dedup_keys)
-            .withColumn("__rk", F.row_number().over(w))
+            merged.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k)
         )
 
@@ -1199,9 +1209,8 @@ def knn_join(
         # cluster-killer); allow_cartesian_fallback=True opts back in
         # to the bounded distributed scan instead of the error.
         if _resolve_broadcast(targets, "auto", 4_000_000):
-            t = F.broadcast(
-                targets.select(*[F.col(c).alias("__t_" + c) for c in tcols])
-            )
+            # reuse the deduped cached target frame — no second scan
+            t = F.broadcast(tgt.drop(_P + "tcell"))
             extra = remaining.crossJoin(t).withColumn(
                 "dist2",
                 (F.col(qx) - F.col("__t_" + tx))
@@ -1209,7 +1218,7 @@ def knn_join(
                 + (F.col(qy) - F.col("__t_" + ty))
                 * (F.col(qy) - F.col("__t_" + ty)),
             )
-            topk = fold_topk(topk, extra)
+            topk = fold_topk(topk, extra, dedup=True)
         else:
             topk, remaining, n_rem = advance(topk, remaining, max_rounds)
             if n_rem:
@@ -1224,9 +1233,7 @@ def knn_join(
                         "pass allow_cartesian_fallback=True to accept the "
                         "bounded distributed scan"
                     )
-                t = targets.select(
-                    *[F.col(c).alias("__t_" + c) for c in tcols]
-                )
+                t = tgt.drop(_P + "tcell")
                 extra = remaining.crossJoin(t).withColumn(
                     "dist2",
                     (F.col(qx) - F.col("__t_" + tx))
@@ -1234,7 +1241,7 @@ def knn_join(
                     + (F.col(qy) - F.col("__t_" + ty))
                     * (F.col(qy) - F.col("__t_" + ty)),
                 )
-                topk = fold_topk(topk, extra)
+                topk = fold_topk(topk, extra, dedup=True)
         # the fallback fold is lazy: materialize the (queries*k-sized)
         # result so the round caches can be released.  persist + count
         # (NOT localCheckpoint): blocks stay lineage-recoverable.
