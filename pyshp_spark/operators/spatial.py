@@ -515,11 +515,35 @@ def _parse_polygons_distributed(
                 dtype=np.float64
             )
             bad = np.isnan(bb).any(axis=1)
+            # cover cells for the WHOLE batch in one vectorized pass
+            # (the per-row bbox_cover_np call cost ~11us of numpy setup
+            # per polygon — ~5 core-seconds at the 500k build guard);
+            # same cell values and order as bbox_cover_np: row-major
+            # over (rows, cols), empty for NaN or inverted bboxes
+            bbz = np.where(np.isnan(bb), 0.0, bb)  # keep floors defined
+            c0 = np.floor((bbz[:, 0] - grid.x0) / grid.dx).astype(np.int64)
+            c1 = np.floor((bbz[:, 2] - grid.x0) / grid.dx).astype(np.int64)
+            r0 = np.floor((bbz[:, 1] - grid.y0) / grid.dy).astype(np.int64)
+            r1 = np.floor((bbz[:, 3] - grid.y0) / grid.dy).astype(np.int64)
+            ncols = np.maximum(c1 - c0 + 1, 0)
+            nrows = np.maximum(r1 - r0 + 1, 0)
+            counts = np.where(bad, 0, ncols * nrows)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            total = int(ends[-1]) if len(ends) else 0
+            if total:
+                within = np.arange(total) - np.repeat(starts, counts)
+                nc_rep = np.repeat(ncols, counts)
+                cells = (
+                    np.repeat(c0, counts) + within % nc_rep
+                    + (np.repeat(r0, counts) + within // nc_rep)
+                    * grid.width
+                )
+            else:
+                cells = np.empty(0, dtype=np.int64)
             out[_P + "cover"] = [
-                empty
-                if bad[i]
-                else grid.bbox_cover_np(*bb[i]).astype(np.int64).tobytes()
-                for i in range(len(pdf))
+                cells[s:e].tobytes() if e > s else empty
+                for s, e in zip(starts, ends)
             ]
             yield out
 

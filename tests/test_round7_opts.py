@@ -163,6 +163,40 @@ def test_dedup_coords_identical_results(spark):
         )
 
 
+def test_vectorized_cover_matches_per_row(spark):
+    """The batch-vectorized cover in _parse_polygons_distributed must
+    reproduce bbox_cover_np per row exactly (values AND order),
+    including NaN-bbox and inverted-bbox rows (empty cover)."""
+    rows = []
+    ring = np.array([[0.0, 0.0], [0.0, 8.0], [8.0, 8.0], [8.0, 0.0],
+                     [0.0, 0.0]])
+    rng = np.random.default_rng(7)
+    for oid in range(40):
+        x0, y0 = rng.uniform(-30, 30, 2)
+        w, h = rng.uniform(0, 25, 2)
+        rows.append((oid, bytearray(wkb_polygon([ring])),
+                     float(x0), float(y0), float(x0 + w), float(y0 + h)))
+    rows.append((100, bytearray(wkb_polygon([ring])),
+                 float("nan"), 0.0, 5.0, 5.0))       # NaN bbox -> empty
+    rows.append((101, bytearray(wkb_polygon([ring])),
+                 9.0, 0.0, 1.0, 5.0))                # inverted -> empty
+    polys = spark.createDataFrame(
+        rows, "oid long, wkb binary, xmin double, ymin double, "
+              "xmax double, ymax double",
+    )
+    pdf = sp._parse_polygons_distributed(polys, GRID4)
+    got = {
+        int(o): np.frombuffer(b, dtype=np.int64)
+        for o, b in zip(pdf["oid"], pdf[sp._P + "cover"])
+    }
+    for oid, _, x0, y0, x1, y1 in rows:
+        if np.isnan([x0, y0, x1, y1]).any() or x1 < x0 or y1 < y0:
+            want = np.empty(0, dtype=np.int64)
+        else:
+            want = GRID4.bbox_cover_np(x0, y0, x1, y1).astype(np.int64)
+        assert np.array_equal(got[oid], want), oid
+
+
 def _n_persisted(spark):
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
