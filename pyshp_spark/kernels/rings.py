@@ -201,6 +201,130 @@ def ring_sample(ring, ccw: bool = False) -> tuple[float, float]:
     raise RingSamplingError(f"unable to find a ring sample point in {len(coords)} coords")
 
 
+def _first_ring_stats_scalar(ring) -> tuple:
+    """(is_cw, |2A|, sx, sy) of one ring via the reference-parity scalar
+    kernels — the exact path `first_ring_stats` falls back to."""
+    cw = is_cw(ring)
+    a2 = abs(signed_area(ring, fast=True))
+    try:
+        px, py = ring_sample(ring, ccw=not cw)
+    except RingSamplingError:
+        px = py = None
+    return (cw, a2, px, py)
+
+
+def first_ring_stats(rings_list: list) -> list:
+    """(is_cw, |2A|, sample_x, sample_y) per shape for a BATCH of parsed
+    ring lists (first ring of each; empty ring list -> all-None row).
+
+    Fast path, fully vectorized across the batch, for the overwhelmingly
+    common case — first ring has 3..96 vertices, no NaNs, its first
+    three coordinates are pairwise distinct, and the FIRST candidate
+    triplet of :func:`ring_sample` succeeds (non-degenerate, orientation
+    matches, centroid inside).  Bit-exactness with the scalar path is
+    by construction: the shoelace terms accumulate left-to-right per
+    ring exactly like the small-ring python ``sum`` in
+    :func:`signed_area` (a masked sequential loop over term index, NOT
+    np.sum's pairwise tree), the triplet test replicates
+    :func:`ring_sample`'s first iteration expression for expression,
+    and containment counts crossings with :func:`ring_contains_points`'
+    per-edge arithmetic.  Every shape that misses any gate falls back
+    to the scalar kernels, so outputs are identical for ALL inputs —
+    pinned by a randomized differential test."""
+    n_items = len(rings_list)
+    out: list = [None] * n_items
+    fast_idx: list[int] = []
+    fast_rings: list[np.ndarray] = []
+    for i, rings in enumerate(rings_list):
+        if not rings:
+            out[i] = (None, None, None, None)
+            continue
+        a = _as_xy(rings[0])
+        n = len(a)
+        if 3 <= n <= 96 and not np.isnan(a).any():
+            d01 = a[0, 0] != a[1, 0] or a[0, 1] != a[1, 1]
+            d12 = a[1, 0] != a[2, 0] or a[1, 1] != a[2, 1]
+            d02 = a[0, 0] != a[2, 0] or a[0, 1] != a[2, 1]
+            if d01 and d12 and d02:
+                fast_idx.append(i)
+                fast_rings.append(a)
+                continue
+        out[i] = _first_ring_stats_scalar(rings[0])
+    if not fast_rings:
+        return out
+
+    m = len(fast_rings)
+    ns = np.fromiter((len(r) for r in fast_rings), dtype=np.int64, count=m)
+    maxn = int(ns.max())
+    # padded coords with the shoelace wrap slot: X[j, nj] = x[1]
+    X = np.zeros((m, maxn + 1), dtype=np.float64)
+    Y = np.zeros((m, maxn + 1), dtype=np.float64)
+    for j, r in enumerate(fast_rings):
+        nj = len(r)
+        X[j, :nj] = r[:, 0]
+        Y[j, :nj] = r[:, 1]
+        X[j, nj] = r[1, 0]
+        Y[j, nj] = r[1, 1]
+    # sequential masked accumulation — same left-to-right term order as
+    # signed_area's small-ring python sum (np.sum's pairwise tree would
+    # diverge in the last bits for longer rings)
+    acc = np.zeros(m, dtype=np.float64)
+    for i in range(1, maxn):
+        t = X[:, i] * (Y[:, i + 1] - Y[:, i - 1])
+        acc = np.where(i < ns, acc + t, acc)
+    cw = acc < 0.0
+    a2 = np.abs(acc)
+
+    ax, ay = X[:, 0], Y[:, 0]
+    bx, by = X[:, 1], Y[:, 1]
+    cx, cy = X[:, 2], Y[:, 2]
+    straight = (ay - by) * (ax - cx) == (ay - cy) * (ax - bx)
+    # signed_area of [t0,t1,t2,t0] in its exact sequential order
+    s = bx * (cy - ay)
+    s = s + cx * (ay - by)
+    s = s + ax * (by - cy)
+    tri_ccw = ~(s < 0.0)
+    want_ccw = ~cw  # stats samples holes-side: ccw = not is_cw(ring)
+    mx = (ax + bx + cx) / 3.0
+    my = (ay + by + cy) / 3.0
+
+    # centroid-in-own-ring: one flattened crossing pass over all edges
+    flat = np.concatenate(fast_rings)[:, :2]
+    ends = np.cumsum(ns)
+    tot = int(ends[-1])
+    is_last = np.zeros(tot, dtype=bool)
+    is_last[ends - 1] = True
+    e0 = np.flatnonzero(~is_last)
+    ring_id = np.repeat(np.arange(m), ns - 1)
+    x0, y0 = flat[e0, 0], flat[e0, 1]
+    x1, y1 = flat[e0 + 1, 0], flat[e0 + 1, 1]
+    tx, ty = mx[ring_id], my[ring_id]
+    yf0 = y0 >= ty
+    yf1 = y1 >= ty
+    straddle = yf0 != yf1
+    xf0 = x0 >= tx
+    xf1 = x1 >= tx
+    same_side = xf0 == xf1
+    crossed = straddle & same_side & xf0
+    hard = straddle & ~same_side
+    if hard.any():
+        with np.errstate(divide="ignore", invalid="ignore"):
+            isect = x1 - (y1 - ty) * (x0 - x1) / (y0 - y1)
+        crossed = crossed | (hard & (isect >= tx))
+    crossings = np.bincount(
+        ring_id, weights=crossed, minlength=m
+    ).astype(np.int64)
+    inside = (crossings & 1).astype(bool)
+
+    ok = (~straight) & (tri_ccw == want_ccw) & inside
+    for j, i in enumerate(fast_idx):
+        if ok[j]:
+            out[i] = (bool(cw[j]), float(a2[j]), float(mx[j]), float(my[j]))
+        else:
+            out[i] = _first_ring_stats_scalar(fast_rings[j])
+    return out
+
+
 def organize_polygon_rings(
     rings: list[np.ndarray], return_errors: dict | None = None
 ) -> list[list[np.ndarray]]:

@@ -197,6 +197,62 @@ def test_vectorized_cover_matches_per_row(spark):
         assert np.array_equal(got[oid], want), oid
 
 
+def test_first_ring_stats_matches_scalar_kernels():
+    """first_ring_stats' vectorized fast path must be BIT-identical to
+    the scalar kernels on every input — random rings (both windings,
+    open and closed), degenerate/straight starts, duplicate leading
+    coords, NaNs, tiny and >96-vertex rings, and empty shapes all
+    differentially checked against the scalar path."""
+    from pyshp_spark.kernels.rings import (
+        _first_ring_stats_scalar,
+        first_ring_stats,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(300):
+        n = int(rng.integers(3, 12))
+        r = rng.uniform(-100, 100, (n, 2))
+        if rng.random() < 0.5:
+            r = np.vstack([r, r[:1]])  # closed
+        cases.append([r])
+    # regular convex rings (fast path certain), both windings
+    th = np.linspace(0, 2 * np.pi, 9)
+    circ = np.stack([np.cos(th), np.sin(th)], axis=1) * 10
+    cases.append([circ])
+    cases.append([circ[::-1].copy()])
+    # straight first triplet
+    cases.append([np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0],
+                            [2.0, 2.0], [0.0, 0.0]])])
+    # duplicate leading coords
+    cases.append([np.array([[0.0, 0.0], [0.0, 0.0], [3.0, 0.0],
+                            [3.0, 3.0], [0.0, 0.0]])])
+    # NaN coords
+    cases.append([np.array([[0.0, 0.0], [np.nan, 1.0], [2.0, 0.0],
+                            [0.0, 0.0]])])
+    # long ring (>96 vertices: scalar-only path)
+    th2 = np.linspace(0, 2 * np.pi, 120)
+    cases.append([np.stack([np.cos(th2), np.sin(th2)], axis=1) * 5])
+    # empty shape + multi-ring shape (only ring[0] counts)
+    cases.append([])
+    cases.append([circ, circ[::-1].copy() * 0.3])
+    def same(u, v):
+        return u == v or (
+            isinstance(u, float) and isinstance(v, float)
+            and np.isnan(u) and np.isnan(v)
+        )
+
+    got = first_ring_stats(cases)
+    for i, rings in enumerate(cases):
+        want = (
+            (None, None, None, None) if not rings
+            else _first_ring_stats_scalar(rings[0])
+        )
+        assert all(same(g, w) for g, w in zip(got[i], want)), (
+            i, got[i], want,
+        )
+
+
 def _n_persisted(spark):
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
