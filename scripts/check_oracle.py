@@ -75,7 +75,11 @@ def main():
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "6g")
+        .config("spark.driver.memory", "16g")
+        # the gate COLLECTS full result sets to compare against DuckDB;
+        # at the sf1.0 probe scale (22M+ pip rows) the default 1g
+        # maxResultSize aborts the harness, not the engine
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
